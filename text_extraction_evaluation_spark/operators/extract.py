@@ -1,0 +1,157 @@
+"""E1 — the extraction operator (SURVEY.md §2.3).
+
+One ``mapInPandas`` Arrow kernel per page: html bytes -> jusText-style
+main-content text. All sub-steps (charset sniff, DOM segmentation,
+feature computation, context-free classification, context-sensitive
+smoothing, text assembly) are intra-document, so the operator is
+perfectly data-parallel: no shuffle, no state across rows.
+
+Scale notes (100 TB design):
+* input is pre-partitioned by url-hash (+ salt for skewed hosts) BEFORE
+  this operator — see ``salted_repartition`` — because AQE cannot
+  rebalance a MapInPandas stage's input after the fact;
+* ``html`` stays ``BinaryType`` end-to-end JVM-side; bytes are decoded
+  only inside the kernel with the pinned deterministic sniff, so no
+  JVM re-encoding can break byte parity (BASELINE.json:14);
+* columns are pruned explicitly before the kernel (mapInPandas
+  consumes whole rows — Catalyst cannot prune through it);
+* per-partition lineage counters ride along as cheap columns
+  (pid/bytes_in/t_unix) and are aggregated into the ``run_metrics``
+  table by ``plans.lineage`` — no Python accumulators (per-row, slow).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..algo.justext import extract_bytes
+from ..algo.params import DEFAULT_PARAMS, JustextParams
+
+EXTRACTED_COLS = ["url", "warc_ts", "lang", "text", "n_paragraphs", "n_good", "status", "err"]
+
+EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, text string, "
+    "n_paragraphs int, n_good int, status string, err string, "
+    "pid int, bytes_in long, t_unix double"
+)
+
+SPANS_SCHEMA = (
+    "url string, idx int, text string, class_cf string, class_final string, "
+    "link_density double, stopword_density double, word_count int, heading boolean"
+)
+
+
+def salted_repartition(pages: DataFrame, num_partitions: int, salt: int = 8) -> DataFrame:
+    """Repartition by url-hash + salt so a hot host (many urls hashing
+    near one another, or one url crawled many times) cannot pin a
+    single Python worker (BASELINE.json:6 "partitions by url-hash with
+    salting for skewed hosts"). Salting is safe here because E1 is
+    stateless per row — no key-locality requirement."""
+    return pages.repartition(
+        num_partitions,
+        F.pmod(F.xxhash64("url"), F.lit(num_partitions)),
+        F.pmod(F.xxhash64("url", "warc_ts"), F.lit(salt)),
+    )
+
+
+def extract_pages(
+    pages: DataFrame,
+    params: JustextParams = DEFAULT_PARAMS,
+    stoplists: dict[str, frozenset[str]] | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, lang, ...) -> extracted rows + lineage cols."""
+    pruned = pages.select("url", "warc_ts", "html", "lang")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            out = {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "lang": pdf["lang"],
+                "text": [],
+                "n_paragraphs": [],
+                "n_good": [],
+                "status": [],
+                "err": [],
+            }
+            bytes_in = []
+            for raw, lang in zip(pdf["html"], pdf["lang"], strict=True):
+                res = extract_bytes(raw, lang, params, stoplists)
+                out["text"].append(res.text)
+                out["n_paragraphs"].append(res.n_paragraphs)
+                out["n_good"].append(res.n_good)
+                out["status"].append(res.status)
+                out["err"].append(res.err)
+                bytes_in.append(len(raw))
+            now = time.time()
+            yield pd.DataFrame(
+                {
+                    **out,
+                    "pid": pd.Series([pid] * len(pdf), dtype="int32"),
+                    "bytes_in": pd.Series(bytes_in, dtype="int64"),
+                    "t_unix": pd.Series([now] * len(pdf), dtype="float64"),
+                }
+            )
+
+    return pruned.mapInPandas(kernel, EXTRACT_SCHEMA)
+
+
+def extracted_clean(extracted: DataFrame) -> DataFrame:
+    """Drop the lineage ride-along columns for user-facing output."""
+    return extracted.select(*EXTRACTED_COLS)
+
+
+def extract_spans(
+    pages: DataFrame,
+    params: JustextParams = DEFAULT_PARAMS,
+    stoplists: dict[str, frozenset[str]] | None = None,
+) -> DataFrame:
+    """Span-level parity output: one row per paragraph with context-free
+    and final classes + features (FIXTURES.md §4 ``paragraphs``)."""
+    pruned = pages.select("url", "html", "lang")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, raw, lang in zip(pdf["url"], pdf["html"], pdf["lang"], strict=True):
+                res = extract_bytes(raw, lang, params, stoplists)
+                for cp in res.paragraphs:
+                    rows.append(
+                        (url, cp.idx, cp.text, cp.class_cf, cp.class_final,
+                         cp.link_density, cp.stopword_density, cp.word_count,
+                         cp.heading)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "idx", "text", "class_cf", "class_final",
+                         "link_density", "stopword_density", "word_count",
+                         "heading"],
+            )
+
+    return pruned.mapInPandas(kernel, SPANS_SCHEMA)
+
+
+def latest_crawl(pages: DataFrame) -> DataFrame:
+    """Keep the newest crawl per url (W-dedup; SURVEY.md §2.10).
+
+    row_number over (url, warc_ts desc) — a single shuffle on url; at
+    100 TB this is the one unavoidable wide dependency before
+    extraction and it doubles as the url-hash partitioning the kernel
+    wants, so no extra repartition is needed afterwards.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

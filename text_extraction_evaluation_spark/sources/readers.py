@@ -1,0 +1,101 @@
+"""Session + table loading + distributed page synthesis.
+
+All relational work is plain DataFrame API so Catalyst handles column
+pruning / predicate pushdown; the only Python surface is the
+mapInPandas synthesis kernel (Arrow-batched, no per-row Python UDFs —
+BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .synth import dataset_for, synth_gold_pdf, synth_pages_pdf
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+GOLD_SCHEMA = "url string, gold_text string, dataset string"
+
+
+def get_spark(
+    app: str = "text-extraction-evaluation-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """local[*] session tuned for the Arrow-heavy extraction workload.
+
+    On a real cluster the same settings apply minus ``master`` (set by
+    spark-submit); AQE stays on for runtime skew-join/partition
+    coalescing (SURVEY.md §4).
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(32, cores)
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html:binary dominates batch memory; cap records per Arrow
+        # batch so batches stay ~tens of MB even with fat pages.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pages_df(
+    spark: SparkSession, sf_dir: str, n_partitions: int | None = None
+) -> DataFrame:
+    """Synthesize the Common-Crawl-style ``pages`` table from the seed
+    corpus, distributed: each partition of ``documents`` synthesizes
+    its own pages inside one Arrow kernel (no shuffle of html bytes —
+    pages are born partitioned)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    if n_partitions:
+        docs = docs.repartition(n_partitions, "doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield synth_pages_pdf(pdf)
+
+    return docs.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def gold_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold(url, gold_text, dataset) — tiny vs pages; always the
+    broadcast side of the scoring join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            yield synth_gold_pdf(pdf)
+
+    return docs.mapInPandas(gen, GOLD_SCHEMA)
+
+
+def dataset_col(source_col):
+    """Column-expression twin of synth.dataset_for (kept in sync by
+    tests) so dataset labels can be derived JVM-side when needed."""
+    n = F.regexp_replace(source_col, "^src", "").cast("int")
+    return F.when(n < 10, F.lit("cleaneval")).otherwise(F.lit("googlenews"))
+
+
+__all__ = [
+    "TABLES", "PAGES_SCHEMA", "GOLD_SCHEMA",
+    "get_spark", "load_table", "pages_df", "gold_df", "dataset_col",
+    "dataset_for",
+]
