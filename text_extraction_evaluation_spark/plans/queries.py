@@ -1,0 +1,756 @@
+"""Oracle-checked query registry (driver contract, __spark_entry__.py).
+
+Every SQL-expressible operator from SURVEY.md §2 — plus the
+training-data-pipeline operators (dedup exact/MinHash-LSH/SimHash/
+n-gram-Jaccard, similarity search, text quality/token stats,
+fingerprinting) — gets a Spark DataFrame implementation here AND an
+ANSI-SQL twin the driver runs through DuckDB at sf0.01.
+
+Cross-engine determinism rules used throughout:
+* money/quantity sums go through DECIMAL casts (exact partial-agg-order
+  -independent arithmetic) and are cast to DOUBLE at the end;
+* double averages are ``round(x, 6)``;
+* hash primitives are md5-hex-prefix -> bigint (identical in both
+  engines), never xxhash64/murmur (engine-specific);
+* every computed column is aliased identically on both sides (the
+  driver's value-hash sorts columns by name).
+
+Scale notes are attached per query: broadcast hints on dimension
+tables, aggregate-before-join where legal, and no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import operator
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    MINHASH_BANDS,
+    MINHASH_ROWS_PER_BAND,
+    MINHASH_SEEDS,
+    SIMHASH_BITS,
+    md5_int,
+    minhash_signature,
+    tokens_col,
+    word_shingles,
+)
+from ..algo.stoplists import _SYNTH_STOPWORDS
+
+STOPWORDS_SORTED = sorted(_SYNTH_STOPWORDS)
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_SORTED)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, prec="decimal(18,2)"):
+    return F.col(col).cast(prec) if isinstance(col, str) else col.cast(prec)
+
+
+# ---------------------------------------------------------------------------
+# Relational battery (star schema) — SURVEY.md §2.2/2.4/2.5/2.6/2.7
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-style wide aggregation (TPC-H Q1 shape): filter pushdown to the
+    parquet scan + hash aggregate with map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    charge = disc_price * (one + _dec("l_tax", "decimal(3,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity", "decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J + A + O1 top-k: aggregate orders BEFORE the join (smaller
+    shuffle), broadcast the customer dim, window row_number top-20."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue", "n_orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+_TOP_CUST_SQL = """
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT c_custkey, c_name, c_mktsegment, revenue, n_orders,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk
+  FROM rev JOIN customer ON o_custkey = c_custkey
+)
+SELECT * FROM j WHERE rk <= 20
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    Dims are broadcast; the only big shuffle is lineitem⋈orders on
+    orderkey (at 100 TB: co-partition/bucket both on orderkey)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_NATION_REV_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the same shape as the resume pending-work join
+    J2, SURVEY.md §2.4)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_ANTI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q_urgent_shipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having at least one early-shipped line."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_rank_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 window ranking: top-3 customers by acctbal per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "rk", "c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+_RANK_SQL = """
+SELECT n_name, rk, c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT n_name, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rk <= 3
+"""
+
+
+def q_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup over (status, priority) with subtotal rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the event stream table."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column (SURVEY.md §2.10)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.min("k").alias("min_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators over `documents`
+# ---------------------------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace tokenizer, JVM-side only."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = tokens_col("text")
+    n = F.size(tok)
+    chars = F.length(F.regexp_replace("text", r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        chars.alias("n_chars_nospace"),
+        F.round(chars.cast("double") / n, 6).alias("avg_token_len"),
+    )
+
+
+_TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS chars
+  FROM documents
+)
+SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct_tokens,
+       chars AS n_chars_nospace,
+       ROUND(CAST(chars AS DOUBLE) / len(w), 6) AS avg_token_len
+FROM t
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + length saturation + lexical
+    diversity (the length/stopword feature family the extractor's
+    classifier uses, lifted to corpus level)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = tokens_col("text")
+    n = F.size(tok)
+    stop_hits = F.aggregate(
+        tok,
+        F.lit(0),
+        lambda acc, w: acc + F.when(w.isin(STOPWORDS_SORTED), 1).otherwise(0),
+    )
+    stop_ratio = stop_hits.cast("double") / n
+    distinct_ratio = F.size(F.array_distinct(tok)).cast("double") / n
+    length_sat = F.least(F.lit(1.0), n.cast("double") / F.lit(100.0))
+    quality = 0.5 * stop_ratio + 0.3 * length_sat + 0.2 * distinct_ratio
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(length_sat, 6).alias("length_sat"),
+        # floor-quantized micro-units: ROUND half-tie semantics differ
+        # across engines for values landing exactly on a .5 boundary
+        F.floor(quality * 1e6).cast("bigint").alias("quality_e6"),
+    )
+
+
+_TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    CAST(list_sum(list_transform(w, x -> CASE WHEN x IN ({_STOP_SQL}) THEN 1 ELSE 0 END)) AS DOUBLE) / len(w) AS sr,
+    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr,
+    LEAST(1.0::DOUBLE, CAST(len(w) AS DOUBLE) / 100.0::DOUBLE) AS ls
+  FROM t
+)
+SELECT doc_id, lang, ROUND(sr, 6) AS stop_ratio, ROUND(dr, 6) AS distinct_ratio,
+       ROUND(ls, 6) AS length_sat,
+       CAST(floor((0.5::DOUBLE * sr + 0.3::DOUBLE * ls + 0.2::DOUBLE * dr) * 1000000.0::DOUBLE) AS BIGINT) AS quality_e6
+FROM s
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of the whitespace-normalized lowercased
+    text (engine-portable; used as the exact-dedup key)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint; emits
+    duplicate groups (empty on this corpus — the planted duplicates are
+    near-dups, which minhash/jaccard below DO find)."""
+    fp = doc_fingerprint(spark, sf_dir)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-word-shingle Jaccard >= 0.8 (brute-force
+    within-corpus; the LSH variant below is the 100 TB path — this one
+    is the exactness baseline it is validated against)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", word_shingles(tokens_col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+  FROM t WHERE len(w) >= 3
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs: 16 xor-permuted md5 minhashes,
+    4 bands x 4 rows; docs sharing any band bucket become a candidate
+    pair. At 100 TB this replaces the quadratic jaccard self-join: the
+    band groupBy shuffles only (doc_id, band_key), never shingles."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", word_shingles(tokens_col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.select("doc_id", *[
+        c.alias(f"s{i}") for i, c in enumerate(minhash_signature(F.col("sh")))
+    ])
+    bands = None
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"s{b * MINHASH_ROWS_PER_BAND + r}").cast("string")
+                for r in range(MINHASH_ROWS_PER_BAND)]
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def _minhash_sql() -> str:
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(h, x -> xor(x, {seed}::BIGINT))) AS s{i}"
+        for i, seed in enumerate(MINHASH_SEEDS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"s{b * MINHASH_ROWS_PER_BAND + r}::VARCHAR"
+                for r in range(MINHASH_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+  FROM t WHERE len(w) >= 3
+), hs AS (
+  SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+    {sig_exprs}
+  FROM hs
+), bands AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document from md5 3-word-shingle hashes — one
+    pass: explode distinct shingles, 48 conditional sums, recombine.
+    Pure built-ins (bit ops survive whole-stage codegen). Shingle
+    features, not single words: the benchmark corpus has a closed
+    31-word vocabulary, so word-level simhash degenerates (every doc
+    contains nearly every word)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(word_shingles(tokens_col("text"))).alias("w")
+    ).withColumn("h", md5_int(F.col("w")))
+    aggs = [
+        (
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            )
+            >= 0
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bits = words.groupBy("doc_id").agg(*aggs)
+    sim = reduce(
+        operator.add,
+        [
+            F.when(F.col(f"b{i}"), F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    return bits.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_sql(pairs: bool = False) -> str:
+    bit_exprs = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN b{i} THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
+    base = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wlist FROM documents
+), words AS (
+  SELECT doc_id,
+         unnest(list_distinct([wlist[i] || ' ' || wlist[i+1] || ' ' || wlist[i+2]
+                               for i in range(1, len(wlist) - 1)])) AS w
+  FROM t WHERE len(wlist) >= 3
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words
+), bits AS (
+  SELECT doc_id,
+    {bit_exprs}
+  FROM h GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits
+)
+"""
+    if not pairs:
+        return base + "SELECT doc_id, simhash FROM sim"
+    return base + """
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= 6. (At 100 TB,
+    pre-bucket by simhash bit-bands instead of the full self-join.)"""
+    sim = dedup_simhash(spark, sf_dir)
+    a = sim.alias("a")
+    b = sim.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, dataset-side source bucket)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_LANG_DIST_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors: the
+    correctness baseline for ANN. Norms precomputed per row; query side
+    broadcast; dot product via zip_with+aggregate (JVM-side, no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sq = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    base = emb.withColumn("nrm", F.sqrt(sq(F.col("v"))))
+    q = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    ).filter(F.col("query_id") < 10)
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "nn_rank",
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )
+
+
+_ANN_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
+), s AS (
+  SELECT query_id, n.vec_id AS neighbor_id,
+         list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN n ON n.vec_id <> query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+  FROM s
+)
+SELECT query_id, neighbor_id, nn_rank, ROUND(cos, 4) AS cos_sim
+FROM r WHERE nn_rank <= 5
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm statistics."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return (
+        emb.withColumn("nrm", nrm)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+_EMB_NORMS_SQL = """
+WITH n AS (
+  SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs, ROUND(AVG(nrm), 6) AS avg_norm,
+       ROUND(MIN(nrm), 6) AS min_norm, ROUND(MAX(nrm), 6) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SQL_CHECKED = {
+    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "q_top_customers": (q_top_customers, _TOP_CUST_SQL),
+    "q_nation_revenue": (q_nation_revenue, _NATION_REV_SQL),
+    "q_customers_without_orders": (q_customers_without_orders, _ANTI_SQL),
+    "q_urgent_shipped_orders": (q_urgent_shipped_orders, _SEMI_SQL),
+    "q_rank_customers_window": (q_rank_customers_window, _RANK_SQL),
+    "q_rollup_order_counts": (q_rollup_order_counts, _ROLLUP_SQL),
+    "q_events_hourly": (q_events_hourly, _EVENTS_HOURLY_SQL),
+    "q_events_json": (q_events_json, _EVENTS_JSON_SQL),
+    "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
+    "text_quality": (text_quality, _TEXT_QUALITY_SQL),
+    "doc_fingerprint": (doc_fingerprint, _FINGERPRINT_SQL),
+    "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, _JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_simhash": (dedup_simhash, _simhash_sql(pairs=False)),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_sql(pairs=True)),
+    "lang_distribution": (lang_distribution, _LANG_DIST_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
+    "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
+}
