@@ -1,0 +1,106 @@
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The flagship extraction pipeline is run over
+a replicated page corpus (REPLICATE x documents, distinct urls) so the
+Arrow kernel dominates the measurement rather than fixed overheads.
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": <sf>, ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _noop_write(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from text_extraction_evaluation_spark.operators.extract import (
+        extract_pages,
+        extracted_clean,
+        latest_crawl,
+    )
+    from text_extraction_evaluation_spark.operators.report import ranked_report
+    from text_extraction_evaluation_spark.operators.score import score_extracted
+    from text_extraction_evaluation_spark.plans.queries import SQL_CHECKED
+    from text_extraction_evaluation_spark.sources.readers import (
+        get_spark,
+        gold_df,
+        pages_df,
+    )
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(32, cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- flagship: synth -> dedup -> extract -> score -> report -------------
+    n_parts = cpus * 3
+    pages = pages_df(spark, sf_dir, n_partitions=n_parts, replicate=replicate)
+    latest = latest_crawl(pages)
+    extracted = extracted_clean(extract_pages(latest))
+    gold = gold_df(spark, sf_dir, replicate=replicate)
+
+    t0 = time.time()
+    n_docs = extracted.count()
+    t_extract = time.time() - t0
+    timings["extract_pipeline"] = round(t_extract, 3)
+    extras["extraction_docs"] = n_docs
+    extras["extraction_docs_per_sec"] = round(n_docs / t_extract, 1)
+
+    t0 = time.time()
+    rep = ranked_report(score_extracted(extracted, gold))
+    rep.collect()
+    timings["score_report"] = round(time.time() - t0, 3)
+
+    # -- headline analytics ---------------------------------------------------
+    bench_queries = [
+        "q1_pricing_summary",
+        "q_nation_revenue",
+        "q_top_customers",
+        "q_events_hourly",
+        "text_quality",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+    ]
+    for name in bench_queries:
+        fn, _sql = SQL_CHECKED[name]
+        t0 = time.time()
+        _noop_write(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "replicate": replicate,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

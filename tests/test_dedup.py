@@ -1,0 +1,78 @@
+"""Dedup operator tests: kernel-vs-JVM minhash equality, verified
+near-dup pairs vs brute-force jaccard, keep-list semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF0001}/documents.parquet")
+
+
+def test_minhash_kernel_equals_jvm_formulation(spark):
+    from text_extraction_evaluation_spark.plans.queries import (
+        dedup_minhash_lsh,
+        dedup_minhash_lsh_jvm,
+    )
+
+    fast = {tuple(r) for r in dedup_minhash_lsh(spark, SF0001).collect()}
+    jvm = {tuple(r) for r in dedup_minhash_lsh_jvm(spark, SF0001).collect()}
+    assert fast == jvm
+    assert len(fast) > 0
+
+
+def test_verified_pairs_subset_of_bruteforce_and_finds_planted(spark, docs):
+    from text_extraction_evaluation_spark.operators.dedup import (
+        verified_near_dup_pairs,
+    )
+    from text_extraction_evaluation_spark.plans.queries import dedup_ngram_jaccard
+
+    verified = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in verified_near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    brute = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup_ngram_jaccard(spark, SF0001).collect()
+    }
+    # LSH+verify can only miss (probabilistic recall), never hallucinate:
+    assert verified <= brute
+    # the driver planted ~25 near-dup pairs at jaccard >= 0.9; LSH with
+    # 4x4 bands catches essentially all of them
+    assert len(verified) >= 0.9 * len(brute)
+
+
+def test_dedup_keep_list_drops_one_side(spark, docs):
+    from text_extraction_evaluation_spark.operators.dedup import (
+        dedup_keep_list,
+        verified_near_dup_pairs,
+    )
+
+    pairs = verified_near_dup_pairs(docs, threshold=0.8)
+    drops = {r["doc_id_b"] for r in pairs.collect()}
+    kept = dedup_keep_list(docs, threshold=0.8)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids.isdisjoint(drops)
+    assert kept_ids | drops == {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+def test_exact_dedup_on_duplicated_input(spark, docs):
+    from text_extraction_evaluation_spark.plans.queries import dedup_exact
+
+    # corpus has no exact dups...
+    assert dedup_exact(spark, SF0001).count() == 0
+    # ...but a doubled corpus has every doc duplicated
+    doubled = docs.unionByName(docs)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    groups = (
+        doubled.select(F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert groups.count() == docs.count()

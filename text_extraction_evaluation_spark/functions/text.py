@@ -50,21 +50,19 @@ def md5_int(c: Column) -> Column:
 
 
 def word_shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a token array (JVM-side transform).
-
-    Guarded by size >= n because Spark's ``sequence(1, 0)`` generates a
-    DESCENDING sequence rather than an empty one.
-    """
-    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok, i + k) for k in range(n)]
-        ),
-    )
-    return F.when(F.size(tok) >= n, F.array_distinct(shingle)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct n-word shingles of a token array, built with
+    ``slice`` + ``zip_with`` rather than per-index ``element_at``:
+    Catalyst inlines the token expression into higher-order lambdas, so
+    an element_at formulation re-evaluates the underlying ``split()``
+    for EVERY element (O(n^2) per row — measured 20x slower). Slices
+    evaluate it O(n) times per row. ``slice`` with length 0 yields an
+    empty array, which also handles size < n."""
+    length = F.greatest(F.size(tok) - (n - 1), F.lit(0))
+    shingle = F.slice(tok, 1, length)
+    for k in range(1, n):
+        shifted = F.slice(tok, 1 + k, length)
+        shingle = F.zip_with(shingle, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(shingle)
 
 
 def minhash_signature(shingles: Column) -> list[Column]:

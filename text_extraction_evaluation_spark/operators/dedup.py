@@ -1,0 +1,154 @@
+"""Deduplication operators for the training-data pipeline.
+
+Exact dedup = hash groupBy (pure JVM). Near-dup = MinHash + LSH:
+signatures are computed in an Arrow-vectorized numpy kernel
+(``mapInPandas``) because a 16-seed signature as Catalyst higher-order
+functions costs ~8 us per interpreted lambda eval — measured ~20x
+slower than the kernel — while the shuffle-side (band buckets, pair
+generation, jaccard verification) stays JVM-side. The kernel computes
+EXACTLY the engine-portable hash family of the SQL formulation
+(md5-hex-prefix -> int, xor seeds), so results are byte-equal to the
+DuckDB oracle and to the pure-JVM reference implementation
+(tests/test_dedup.py asserts both).
+
+Scale shape (100 TB): signatures are a map-only pass over docs; the
+only shuffle is (doc_id, band_key) — tiny; bucket pair-generation is
+quadratic only within an LSH bucket (bounded by construction; cap
+pathological buckets before exploding). Candidate verification joins
+shingle sets back for exact jaccard on CANDIDATES only, never all
+pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MINHASH_BANDS,
+    MINHASH_ROWS_PER_BAND,
+    MINHASH_SEEDS,
+    tokens_col,
+    word_shingles,
+)
+
+_SEEDS_ARR = np.array(MINHASH_SEEDS, dtype=np.int64)
+
+BAND_SCHEMA = "doc_id long, band int, band_key string"
+
+
+def _shingle_set(text: str, n: int = 3) -> list[str]:
+    w = text.split()
+    if len(w) < n:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(w) - n + 1):
+        seen[" ".join(w[i : i + n])] = None
+    return list(seen)
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def minhash_band_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, text) -> one row per (id, band, band_key). Arrow kernel."""
+    pruned = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            bands: list[int] = []
+            keys: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"], strict=True):
+                sh = _shingle_set(text or "")
+                if not sh:
+                    continue
+                h = np.array([_md5_int(s) for s in sh], dtype=np.int64)
+                sig = np.bitwise_xor(h[None, :], _SEEDS_ARR[:, None]).min(axis=1)
+                for b in range(MINHASH_BANDS):
+                    part = sig[b * MINHASH_ROWS_PER_BAND : (b + 1) * MINHASH_ROWS_PER_BAND]
+                    key = hashlib.md5(
+                        ",".join(str(int(v)) for v in part).encode("ascii")
+                    ).hexdigest()
+                    ids.append(int(doc_id))
+                    bands.append(b)
+                    keys.append(key)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "band": pd.Series(bands, dtype="int32"),
+                    "band_key": pd.Series(keys, dtype=object),
+                }
+            )
+
+    return pruned.mapInPandas(kernel, BAND_SCHEMA)
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """LSH band rows -> distinct candidate (doc_id_a < doc_id_b) pairs.
+    Bucket-local pair generation: shuffles only (doc_id, band_key)."""
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+        .distinct()
+    )
+
+
+def verified_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact 3-gram Jaccard —
+    the production near-dup operator: linear signature pass + tiny
+    candidate join, never an all-pairs comparison."""
+    cands = candidate_pairs(minhash_band_rows(docs, id_col, text_col))
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokens_col(text_col)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_keep_list(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Greedy near-dup removal: for every verified pair drop the larger
+    doc_id; returns the surviving (deduplicated) documents. (Greedy
+    pairwise policy, not full connected components — transitive chains
+    keep their minimal element per pair relation; CC is a planned
+    iterative operator.)"""
+    pairs = verified_near_dup_pairs(docs, threshold)
+    drops = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    return docs.join(drops, "doc_id", "left_anti")

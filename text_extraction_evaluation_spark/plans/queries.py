@@ -48,6 +48,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores. The fixture is one small parquet
+    file => one input split; the lambda-heavy shingle/hash queries are
+    CPU-bound per row, so give them all cores. (Real corpora arrive in
+    many splits and skip this.)"""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
 def _dec(col, prec="decimal(18,2)"):
     return F.col(col).cast(prec) if isinstance(col, str) else col.cast(prec)
 
@@ -309,7 +319,7 @@ FROM events GROUP BY event_type
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting — whitespace tokenizer, JVM-side only."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     tok = tokens_col("text")
     n = F.size(tok)
     chars = F.length(F.regexp_replace("text", r"\s+", ""))
@@ -339,7 +349,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + length saturation + lexical
     diversity (the length/stopword feature family the extractor's
     classifier uses, lifted to corpus level)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     tok = tokens_col("text")
     n = F.size(tok)
     stop_hits = F.aggregate(
@@ -383,7 +393,7 @@ FROM s
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 of the whitespace-normalized lowercased
     text (engine-portable; used as the exact-dedup key)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
@@ -417,7 +427,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-word-shingle Jaccard >= 0.8 (brute-force
     within-corpus; the LSH variant below is the 100 TB path — this one
     is the exactness baseline it is validated against)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     sh = docs.select(
         "doc_id", word_shingles(tokens_col("text")).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -457,40 +467,51 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH candidate pairs: 16 xor-permuted md5 minhashes,
     4 bands x 4 rows; docs sharing any band bucket become a candidate
-    pair. At 100 TB this replaces the quadratic jaccard self-join: the
-    band groupBy shuffles only (doc_id, band_key), never shingles."""
-    docs = _t(spark, sf_dir, "documents")
+    pair. Signatures come from the Arrow/numpy kernel
+    (operators.dedup.minhash_band_rows — same engine-portable hash
+    family as the SQL oracle; ~20x faster than interpreted Catalyst
+    lambdas); the band-bucket shuffle and pair generation stay JVM-side
+    and move only (doc_id, band_key), never shingles."""
+    from ..operators.dedup import candidate_pairs, minhash_band_rows
+
+    docs = _docs_par(spark, sf_dir)
+    return candidate_pairs(minhash_band_rows(docs))
+
+
+def dedup_minhash_lsh_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM (Catalyst higher-order-function) formulation of the
+    same MinHash-LSH candidates — kept as a cross-check twin for the
+    Arrow kernel (tests assert equality) and as the no-Python-workers
+    fallback."""
+    docs = _docs_par(spark, sf_dir)
     sh = docs.select(
         "doc_id", word_shingles(tokens_col("text")).alias("sh")
     ).filter(F.size("sh") > 0)
-    sig = sh.select("doc_id", *[
-        c.alias(f"s{i}") for i, c in enumerate(minhash_signature(F.col("sh")))
+    # materialized hash pass in its own projection so CollapseProject
+    # does not inline the md5 transform 16x into the signature exprs
+    hs = sh.select("doc_id", F.transform("sh", md5_int).alias("h"))
+    sig = hs.select("doc_id", *[
+        F.array_min(F.transform("h", lambda x: x.bitwiseXOR(F.lit(seed)))).alias(f"s{i}")
+        for i, seed in enumerate(MINHASH_SEEDS)
     ])
-    bands = None
-    for b in range(MINHASH_BANDS):
-        cols = [F.col(f"s{b * MINHASH_ROWS_PER_BAND + r}").cast("string")
-                for r in range(MINHASH_ROWS_PER_BAND)]
-        part = sig.select(
-            "doc_id",
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            F.md5(
+                F.concat_ws(",", *[
+                    F.col(f"s{b * MINHASH_ROWS_PER_BAND + r}").cast("string")
+                    for r in range(MINHASH_ROWS_PER_BAND)
+                ])
+            ).alias("band_key"),
         )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    b_ = bands.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-        )
-        .distinct()
+        for b in range(MINHASH_BANDS)
+    ])
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
+    from ..operators.dedup import candidate_pairs
+
+    return candidate_pairs(bands)
 
 
 def _minhash_sql() -> str:
@@ -537,7 +558,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     features, not single words: the benchmark corpus has a closed
     31-word vocabulary, so word-level simhash degenerates (every doc
     contains nearly every word)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     words = docs.select(
         "doc_id", F.explode(word_shingles(tokens_col("text"))).alias("w")
     ).withColumn("h", md5_int(F.col("w")))

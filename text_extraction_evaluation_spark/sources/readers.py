@@ -55,16 +55,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_REPLICA_STRIDE = 10_000_000  # divisible by 16 and 20: preserves the
+# template-variant and second-crawl selectors of the base doc_id
+
+
+def _docs(spark: SparkSession, sf_dir: str, replicate: int) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    if replicate > 1:
+        docs = docs.withColumn(
+            "r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        ).withColumn(
+            "doc_id", F.col("doc_id") + F.col("r").cast("long") * _REPLICA_STRIDE
+        ).drop("r")
+    return docs
+
+
 def pages_df(
-    spark: SparkSession, sf_dir: str, n_partitions: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n_partitions: int | None = None,
+    replicate: int = 1,
 ) -> DataFrame:
     """Synthesize the Common-Crawl-style ``pages`` table from the seed
     corpus, distributed: each partition of ``documents`` synthesizes
     its own pages inside one Arrow kernel (no shuffle of html bytes —
-    pages are born partitioned)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source"
-    )
+    pages are born partitioned). ``replicate`` fans the corpus out
+    deterministically (distinct urls, same variant mix) for
+    throughput benchmarking at larger volumes."""
+    docs = _docs(spark, sf_dir, replicate)
     if n_partitions:
         docs = docs.repartition(n_partitions, "doc_id")
 
@@ -75,10 +95,10 @@ def pages_df(
     return docs.mapInPandas(gen, PAGES_SCHEMA)
 
 
-def gold_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gold_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """gold(url, gold_text, dataset) — tiny vs pages; always the
     broadcast side of the scoring join."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = _docs(spark, sf_dir, replicate).select("doc_id", "text", "source")
 
     def gen(batches):
         for pdf in batches:
