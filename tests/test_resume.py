@@ -1,0 +1,91 @@
+"""Resume/lineage tests (SURVEY.md §5.2 item 4; BASELINE.json:6,14):
+kill after k chunk commits, re-run, assert the final table equals a
+single-run table with no url extracted twice, and that lineage rows
+cover every partition."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from text_extraction_evaluation_spark.operators.extract import latest_crawl
+    from text_extraction_evaluation_spark.sources.readers import pages_df
+
+    return latest_crawl(pages_df(spark, SF0001, n_partitions=8)).cache()
+
+
+def _texts(spark, root):
+    from text_extraction_evaluation_spark.plans.jobs import read_extracted
+
+    df = read_extracted(spark, root)
+    return {r["url"]: r["text"] for r in df.collect()}
+
+
+def test_resume_after_injected_failure(spark, pages, tmp_path_factory):
+    from text_extraction_evaluation_spark.plans.jobs import (
+        ChunkFailure,
+        run_extraction_job,
+    )
+    from text_extraction_evaluation_spark.sources.catalog import LocalCatalog
+
+    root_a = str(tmp_path_factory.mktemp("run_resumed"))
+    root_b = str(tmp_path_factory.mktemp("run_single"))
+
+    with pytest.raises(ChunkFailure):
+        run_extraction_job(spark, pages, root_a, n_buckets=8,
+                           buckets_per_chunk=2, fail_after_chunks=2)
+    cat = LocalCatalog(root_a)
+    n_after_fail = len(cat.committed_chunks("extracted"))
+    assert n_after_fail == 2
+
+    # resume: completes the remaining chunks, skips committed ones
+    run_extraction_job(spark, pages, root_a, n_buckets=8, buckets_per_chunk=2)
+    assert len(cat.committed_chunks("extracted")) == 4
+
+    run_extraction_job(spark, pages, root_b, n_buckets=8, buckets_per_chunk=2)
+
+    a = _texts(spark, root_a)
+    b = _texts(spark, root_b)
+    assert a == b  # byte-identical resumed vs single-run output
+
+    # no url extracted twice
+    from text_extraction_evaluation_spark.plans.jobs import read_extracted
+
+    df = read_extracted(spark, root_a)
+    assert df.count() == df.select("url").distinct().count() == pages.count()
+
+
+def test_rerun_is_idempotent_noop(spark, pages, tmp_path_factory):
+    from text_extraction_evaluation_spark.plans.jobs import run_extraction_job
+    from text_extraction_evaluation_spark.sources.catalog import LocalCatalog
+
+    root = str(tmp_path_factory.mktemp("run_idem"))
+    run_extraction_job(spark, pages, root, n_buckets=4, buckets_per_chunk=2)
+    cat = LocalCatalog(root)
+    before = cat.committed_chunks("extracted")
+    run_extraction_job(spark, pages, root, n_buckets=4, buckets_per_chunk=2)
+    after = cat.committed_chunks("extracted")
+    assert before == after  # same commits, same timestamps: nothing re-ran
+
+
+def test_run_metrics_lineage(spark, pages, tmp_path_factory):
+    from text_extraction_evaluation_spark.plans.jobs import run_extraction_job
+    from text_extraction_evaluation_spark.sources.catalog import LocalCatalog
+
+    root = str(tmp_path_factory.mktemp("run_metrics"))
+    run_extraction_job(spark, pages, root, n_buckets=4, buckets_per_chunk=2)
+    cat = LocalCatalog(root)
+    rm = cat.read(spark, "run_metrics").collect()
+    assert rm, "no lineage rows"
+    total_docs = sum(r["n_docs"] for r in rm)
+    assert total_docs == pages.count()
+    buckets = {r["url_bucket"] for r in rm}
+    assert buckets == set(range(4))
+    for r in rm:
+        assert r["n_ok"] + r["n_err"] <= r["n_docs"]
+        assert r["bytes_in"] > 0
+        assert r["t_end"] >= r["t_start"]

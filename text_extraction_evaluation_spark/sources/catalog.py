@@ -1,0 +1,102 @@
+"""Local table catalog with atomic manifest commits — the Iceberg seam.
+
+BASELINE.json:14 requires resumable runs over an Iceberg table with
+per-partition lineage. No Iceberg runtime jar exists in this sandbox
+(SURVEY.md Appendix C), so the catalog abstracts the two properties the
+pipeline actually relies on and implements them on plain parquet dirs:
+
+1. **atomic append commits**: a chunk directory becomes visible only
+   when the JSON manifest is atomically replaced (tmp + os.replace) —
+   readers never see partial writes, re-running a failed chunk is
+   idempotent (same chunk_id -> skip);
+2. **snapshot reads**: ``read()`` loads exactly the committed chunk
+   paths from the manifest, never a directory listing.
+
+Swapping in Iceberg later = replacing this class with
+``df.writeTo(table).append()`` + snapshot reads; call sites are
+unchanged (plans/jobs.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LocalCatalog:
+    def __init__(self, root: str | os.PathLike) -> None:
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+    def _manifest_path(self, table: str) -> Path:
+        return self.root / table / "_manifest.json"
+
+    def _load_manifest(self, table: str) -> dict[str, Any]:
+        p = self._manifest_path(table)
+        if not p.exists():
+            return {"table": table, "chunks": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def _store_manifest(self, table: str, manifest: dict[str, Any]) -> None:
+        p = self._manifest_path(table)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(".json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, p)  # atomic on POSIX
+
+    # -- public API ----------------------------------------------------------
+    def committed_chunks(self, table: str) -> dict[str, dict[str, Any]]:
+        return self._load_manifest(table)["chunks"]
+
+    def is_committed(self, table: str, chunk_id: str) -> bool:
+        return chunk_id in self.committed_chunks(table)
+
+    def chunk_path(self, table: str, chunk_id: str) -> str:
+        return str(self.root / table / f"chunk={chunk_id}")
+
+    def commit_append(
+        self,
+        df: DataFrame,
+        table: str,
+        chunk_id: str,
+        meta: dict[str, Any] | None = None,
+    ) -> bool:
+        """Write ``df`` as one chunk and commit it. Returns False if the
+        chunk was already committed (idempotent re-run)."""
+        if self.is_committed(table, chunk_id):
+            return False
+        path = self.chunk_path(table, chunk_id)
+        # overwrite: a previous FAILED attempt may have left partial
+        # files; they were never committed, so clobbering is safe
+        df.write.mode("overwrite").parquet(path)
+        manifest = self._load_manifest(table)
+        if chunk_id in manifest["chunks"]:
+            return False
+        manifest["chunks"][chunk_id] = {
+            "path": path,
+            "committed_at_unix": time.time(),
+            **(meta or {}),
+        }
+        self._store_manifest(table, manifest)
+        return True
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Snapshot read of all committed chunks (None if no commits)."""
+        chunks = self.committed_chunks(table)
+        if not chunks:
+            return None
+        paths = [c["path"] for c in chunks.values()]
+        return spark.read.parquet(*paths)
+
+    def drop(self, table: str) -> None:
+        import shutil
+
+        shutil.rmtree(self.root / table, ignore_errors=True)
