@@ -1,0 +1,142 @@
+"""Tests: ANN (brute vs LSH recall), multimodal plumbing, lang-id,
+rolling fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF0001
+
+QUERIES = list(range(10))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF0001}/embeddings.parquet").repartition(8, "vec_id")
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    from text_extraction_evaluation_spark.operators.similarity import brute_force_topk
+
+    got = brute_force_topk(emb, QUERIES, k=5).collect()
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(pdf.embedding.values).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = pdf.vec_id.values
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["nn_rank"], r["neighbor_id"]))
+    for q in QUERIES:
+        qi = list(ids).index(q)
+        sims = Vn @ Vn[qi]
+        order = [int(ids[j]) for j in np.argsort(-sims) if ids[j] != q][:5]
+        spark_order = [n for _, n in sorted(by_q[q])]
+        assert spark_order == order, f"query {q}"
+
+
+def test_ann_lsh_recall_and_subset(spark, emb):
+    from text_extraction_evaluation_spark.operators.similarity import (
+        ann_lsh_topk,
+        brute_force_topk,
+    )
+
+    exact = brute_force_topk(emb, QUERIES, k=5).collect()
+    approx = ann_lsh_topk(emb, QUERIES, k=5, n_planes=8, multiprobe=2).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # isotropic random vectors are LSH's worst case; with 8 planes and
+    # hamming<=2 multiprobe the analytic expectation is ~0.4-0.5
+    assert recall >= 0.2, f"recall {recall}"
+    # approx scores must be true cosines: every approx hit that is also
+    # an exact hit carries the same cosine
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(exact_cos[key] - r["cos"]) < 1e-12
+
+
+def test_lsh_buckets_deterministic(spark, emb):
+    from text_extraction_evaluation_spark.operators.similarity import rp_lsh_buckets
+
+    a = {tuple(r) for r in rp_lsh_buckets(emb).collect()}
+    b = {tuple(r) for r in rp_lsh_buckets(emb).collect()}
+    assert a == b
+    assert len(a) == emb.count()
+
+
+def test_multimodal_plumbing(spark):
+    from text_extraction_evaluation_spark.operators.multimodal import (
+        extract_media_features,
+        frame_sample_plan,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=48).cache()
+    feats = extract_media_features(media, dim=16).collect()
+    assert len(feats) == 48
+    for r in feats:
+        assert r["feat_dim"] == 16 and len(r["feature"]) == 16
+        assert r["status"] == "ok" and r["n_bytes"] > 0
+    # deterministic across runs
+    again = extract_media_features(media, dim=16).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+    plan = frame_sample_plan(media, every_nth=5)
+    rows = plan.collect()
+    vids = media.filter(F.col("kind") == "video").select("media_id", "meta.n_frames").collect()
+    expect = sum(len(range(0, r["n_frames"], 5)) for r in vids)
+    assert len(rows) == expect
+    assert all(r["frame_idx"] % 5 == 0 for r in rows)
+
+
+def test_real_decoder_raises(spark):
+    from text_extraction_evaluation_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=6)
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        extract_media_features(media, decoder="real").collect()
+
+
+def test_lang_id_on_real_sentences(spark):
+    from text_extraction_evaluation_spark.operators.textstats import detect_lang, lang_id
+
+    samples = {
+        "en": "the quick brown fox is jumping over the lazy dog and running of course",
+        "fr": "le chat est sur la table et il mange que de la nourriture un peu",
+        "es": "el perro come la comida que está en la casa de los amigos",
+        "de": "der hund und die katze sind ein schönes gespann und gehen ins haus",
+        "zh": "我们在中国的大城市里说话他们来了",
+    }
+    for lang, text in samples.items():
+        got, score = detect_lang(text)
+        assert got == lang, f"{lang}: got {got} ({score})"
+
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(samples.items())],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r["detected_lang"] for r in lang_id(df).collect()}
+    assert rows == {k: k for k in samples}
+
+
+def test_rolling_fingerprints(spark):
+    from text_extraction_evaluation_spark.operators.textstats import rolling_fingerprints
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(100)
+    fp = rolling_fingerprints(docs).collect()
+    assert fp, "no fingerprints emitted"
+    # identical docs share all fingerprints
+    one = docs.limit(1)
+    doubled = one.unionByName(one.withColumn("doc_id", F.col("doc_id") + 1000000))
+    rows = rolling_fingerprints(doubled).collect()
+    a = {r["fingerprint"] for r in rows if r["doc_id"] < 1000000}
+    b = {r["fingerprint"] for r in rows if r["doc_id"] >= 1000000}
+    assert a == b and a

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a
+metadata struct, exactly like ``pages.html`` — never decoded JVM-side.
+Decode/feature kernels run via ``mapInPandas``. The actual codecs
+(PIL/librosa/ffmpeg) are NOT installed in this container, so the
+decode step is stubbed: ``decoder='deterministic_fake'`` produces a
+seeded fake decode (shape-correct, reproducible — used by tests to
+validate the Spark-side plumbing: schema, pruning, batching,
+partitioning), and ``decoder='real'`` raises NotImplementedError at
+the exact integration point a production build would fill in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int, codec:string>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, "
+    "feature array<float>, feat_dim int, status string"
+)
+
+
+def synth_media_df(spark: SparkSession, n: int = 64, n_partitions: int = 8) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes) for
+    plumbing tests; mirrors how pages are synthesized from documents."""
+    base = spark.range(n).withColumnRenamed("id", "media_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                kind = kinds[mid % 3]
+                payload = hashlib.sha256(f"media-{mid}".encode()).digest() * (4 + mid % 5)
+                meta = {
+                    "width": 64 + (mid % 8) * 16 if kind != "audio" else None,
+                    "height": 64 + (mid % 4) * 16 if kind != "audio" else None,
+                    "sample_rate": 16000 if kind == "audio" else None,
+                    "n_frames": 1 + mid % 30 if kind == "video" else None,
+                    "codec": {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
+                }
+                rows.append((mid, kind, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return base.repartition(n_partitions, "media_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _fake_decode_feature(payload: bytes, kind: str, dim: int) -> np.ndarray:
+    """Deterministic stand-in for decode+embed: seeded by payload hash.
+    Shape-correct float32 features, reproducible across runs/engines."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    # splitmix-style expansion, no RandomState (version-stable)
+    vals = np.empty(dim, dtype=np.float64)
+    x = seed
+    for i in range(dim):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        vals[i] = (x >> 11) / float(1 << 53)
+    return (vals.astype(np.float32) - 0.5) * 2.0
+
+
+def extract_media_features(
+    media: DataFrame, dim: int = 16, decoder: str = "deterministic_fake"
+) -> DataFrame:
+    """media table -> per-item feature vectors via an Arrow kernel.
+
+    Column pruning, Arrow batch shape, and output schema are the real
+    production plumbing; only the decode call is stubbed (no codec
+    libraries in this sandbox)."""
+    pruned = media.select("media_id", "kind", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], strict=True
+            ):
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "real decode requires PIL/librosa/ffmpeg — not "
+                        "installed in this sandbox; integration point "
+                        "for production builds"
+                    )
+                feat = _fake_decode_feature(bytes(payload), kind, dim)
+                rows.append(
+                    (int(mid), kind, len(payload), feat.tolist(), dim, "ok")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "n_bytes", "feature", "feat_dim", "status"],
+            )
+
+    return pruned.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_nth: int = 5) -> DataFrame:
+    """Video frame-sampling plan: explode (media_id, frame_idx) for
+    frames ≡ 0 (mod every_nth) — pure JVM from metadata, the cheap
+    planning half of frame extraction (the decode half is the stub)."""
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", F.col("meta.n_frames").alias("n_frames")
+    )
+    idx = F.filter(
+        F.sequence(F.lit(0), F.col("n_frames") - 1),
+        lambda i: i % every_nth == 0,
+    )
+    return vids.select("media_id", F.explode(idx).alias("frame_idx"))

@@ -59,10 +59,19 @@ _REPLICA_STRIDE = 10_000_000  # divisible by 16 and 20: preserves the
 # template-variant and second-crawl selectors of the base doc_id
 
 
-def _docs(spark: SparkSession, sf_dir: str, replicate: int) -> DataFrame:
+def _docs(
+    spark: SparkSession, sf_dir: str, replicate: int, n_partitions: int | None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
+    # Repartition the SMALL base corpus BEFORE replication: exploding
+    # first would fan out inside the original single input split — one
+    # serial task producing the whole replicated corpus (measured ~15 s
+    # of Amdahl serial fraction at replicate=256). Exploding after the
+    # repartition runs fan-out + synthesis fused per partition.
+    if n_partitions:
+        docs = docs.repartition(n_partitions, "doc_id")
     if replicate > 1:
         docs = docs.withColumn(
             "r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
@@ -84,9 +93,7 @@ def pages_df(
     pages are born partitioned). ``replicate`` fans the corpus out
     deterministically (distinct urls, same variant mix) for
     throughput benchmarking at larger volumes."""
-    docs = _docs(spark, sf_dir, replicate)
-    if n_partitions:
-        docs = docs.repartition(n_partitions, "doc_id")
+    docs = _docs(spark, sf_dir, replicate, n_partitions)
 
     def gen(batches):
         for pdf in batches:
@@ -98,7 +105,8 @@ def pages_df(
 def gold_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """gold(url, gold_text, dataset) — tiny vs pages; always the
     broadcast side of the scoring join."""
-    docs = _docs(spark, sf_dir, replicate).select("doc_id", "text", "source")
+    n_parts = spark.sparkContext.defaultParallelism if replicate > 1 else None
+    docs = _docs(spark, sf_dir, replicate, n_parts).select("doc_id", "text", "source")
 
     def gen(batches):
         for pdf in batches:
