@@ -74,6 +74,29 @@ def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_extracted(extracted, gold_df(spark, sf_dir))
 
 
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extraction_evaluation_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(8, "vec_id")
+    return ann_lsh_topk(emb, list(range(10)), k=5)
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extraction_evaluation_spark.operators.textstats import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(8, "doc_id")
+    return lang_id(docs)
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extraction_evaluation_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media_df,
+    )
+
+    return extract_media_features(synth_media_df(spark, n=128), dim=16)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize pages from the sf0.001 seed corpus, dedup to
     the latest crawl, extract main content (jusText-style Arrow kernel),
@@ -93,6 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extracted_texts"] = _extracted_texts
     out["extract_spans"] = _extract_spans
     out["doc_scores"] = _doc_scores
+    out["ann_lsh_topk"] = _ann_lsh
+    out["lang_id"] = _lang_id
+    out["media_features"] = _media_features
     return out
 
 

@@ -551,6 +551,66 @@ FROM bands a JOIN bands b
 """
 
 
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup operator: LSH candidates verified with
+    exact 3-gram Jaccard >= 0.8 — linear signature pass + candidate-only
+    verification join (never all-pairs)."""
+    from ..operators.dedup import verified_near_dup_pairs
+
+    docs = _docs_par(spark, sf_dir)
+    return verified_near_dup_pairs(docs, threshold=0.8)
+
+
+def _minhash_verified_sql() -> str:
+    cand = _minhash_sql()
+    return f"""
+WITH cand AS ({cand}),
+tt AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh2 AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+  FROM tt WHERE len(w) >= 3
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM cand c
+JOIN sh2 a ON a.doc_id = c.doc_id_a
+JOIN sh2 b ON b.doc_id = c.doc_id_b
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+"""
+
+
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (1-in-8 sampled 5-gram
+    hashes) — compact containment/overlap sketch per document."""
+    from ..operators.textstats import rolling_fingerprints
+
+    docs = _docs_par(spark, sf_dir)
+    return rolling_fingerprints(docs, window=5, keep_mod=8)
+
+
+_ROLLING_FP_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+          for i in range(1, len(w) - 3)] AS s
+  FROM t WHERE len(w) >= 5
+), h AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT),
+           v -> v % 8 = 0)) AS fps
+  FROM sh
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM h WHERE len(fps) > 0
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document from md5 3-word-shingle hashes — one
     pass: explode distinct shingles, 48 conditional sums, recombine.
@@ -769,6 +829,8 @@ SQL_CHECKED = {
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_minhash_verified": (dedup_minhash_verified, _minhash_verified_sql()),
+    "doc_rolling_fingerprints": (doc_rolling_fingerprints, _ROLLING_FP_SQL),
     "dedup_simhash": (dedup_simhash, _simhash_sql(pairs=False)),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_sql(pairs=True)),
     "lang_distribution": (lang_distribution, _LANG_DIST_SQL),
