@@ -1,0 +1,102 @@
+"""Physical-plan audits (the .explain discipline from the build brief):
+filters reach the parquet scan, projections prune columns, dimension
+joins broadcast, aggregates have map-side partials, and the extraction
+kernel's input is pruned before the Arrow boundary. These are the
+properties that decide whether the same plan survives a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF0001
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    from text_extraction_evaluation_spark.plans.queries import q1_pricing_summary
+
+    plan = plan_of(q1_pricing_summary(spark, SF0001))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan  # map-side combine
+    # pruned: orderkey/partkey/suppkey never read
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_nation_revenue_broadcasts_dims(spark):
+    from text_extraction_evaluation_spark.plans.queries import q_nation_revenue
+
+    plan = plan_of(q_nation_revenue(spark, SF0001))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    # column pruning on the fact scan
+    scan = [ln for ln in plan.splitlines() if "lineitem.parquet" in ln][0]
+    assert "l_quantity" not in scan and "l_shipdate" not in scan
+
+
+def test_scoring_join_is_broadcast(spark):
+    from text_extraction_evaluation_spark.operators.extract import (
+        extract_pages,
+        extracted_clean,
+        latest_crawl,
+    )
+    from text_extraction_evaluation_spark.operators.score import score_extracted
+    from text_extraction_evaluation_spark.sources.readers import gold_df, pages_df
+
+    pages = pages_df(spark, SF0001, n_partitions=4)
+    extracted = extracted_clean(extract_pages(latest_crawl(pages)))
+    scores = score_extracted(extracted, gold_df(spark, SF0001))
+    plan = plan_of(scores)
+    assert "BroadcastHashJoin" in plan  # gold is the broadcast side
+
+
+def test_extract_kernel_input_is_pruned(spark):
+    from text_extraction_evaluation_spark.operators.extract import extract_pages
+    from text_extraction_evaluation_spark.sources.readers import pages_df
+
+    pages = pages_df(spark, SF0001, n_partitions=4)
+    # pages carries a 'text' (gold) column; the kernel must not consume
+    # it — mapInPandas reads whole rows, so the explicit select before
+    # the kernel is what keeps gold text out of the Arrow channel
+    plan = optimized_of(extract_pages(pages))
+    lines = plan.splitlines()
+    kernel_idx = next(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    child_project = next(
+        ln for ln in lines[kernel_idx + 1:] if "Project [" in ln or "Project[" in ln
+    )
+    for col in ("url", "warc_ts", "html", "lang"):
+        assert col in child_project
+    assert "text" not in child_project
+
+
+def test_anti_join_shape(spark):
+    from text_extraction_evaluation_spark.plans.queries import (
+        q_customers_without_orders,
+    )
+
+    plan = plan_of(q_customers_without_orders(spark, SF0001))
+    assert "LeftAnti" in plan
+
+
+def test_semi_join_shape(spark):
+    from text_extraction_evaluation_spark.plans.queries import q_urgent_shipped_orders
+
+    plan = plan_of(q_urgent_shipped_orders(spark, SF0001))
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+
+
+def test_latest_crawl_single_shuffle(spark):
+    from text_extraction_evaluation_spark.operators.extract import latest_crawl
+    from text_extraction_evaluation_spark.sources.readers import pages_df
+
+    pages = pages_df(spark, SF0001, n_partitions=4)
+    plan = plan_of(latest_crawl(pages))
+    # exactly one exchange for the window (plus the synth repartition)
+    n_exchanges = plan.count("Exchange hashpartitioning(url")
+    assert n_exchanges == 1
