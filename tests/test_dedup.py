@@ -76,3 +76,45 @@ def test_exact_dedup_on_duplicated_input(spark, docs):
         .filter(F.col("count") > 1)
     )
     assert groups.count() == docs.count()
+
+
+def test_connected_components_vs_union_find(spark):
+    from text_extraction_evaluation_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)]
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
+
+    # pure-python union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    # normalize to min-id representative
+    comps = {}
+    for x, r in want.items():
+        comps.setdefault(find(r), []).append(x)
+    want_min = {x: min(members) for root, members in comps.items() for x in members}
+    assert got == want_min
+
+
+def test_components_chain_converges(spark):
+    # a 40-node path graph needs ~log rounds with closed-neighborhood
+    # min propagation; assert convergence within max_iter
+    from text_extraction_evaluation_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 41

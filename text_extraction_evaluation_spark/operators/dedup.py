@@ -143,6 +143,71 @@ def verified_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list -> one row per
+    node: (doc_id, component) with component = min node id reachable.
+
+    Iterative min-label propagation WITH pointer jumping: each round a
+    node adopts the minimum label in its closed neighborhood, then
+    labels compress through the label graph (comp := comp[comp]) —
+    plain propagation is O(diameter) rounds, the jumping step makes it
+    O(log n) (a 40-node path converges in ~7 rounds, tested). Per
+    round: two joins + one aggregate; lineage truncated with
+    localCheckpoint so the plan does not grow with iterations;
+    convergence detected by counting changed labels.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("comp").alias("neigh_comp"))
+        )
+        propagated = labels.join(neigh_min, labels.id == neigh_min.a, "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))
+            ).alias("mid_comp"),
+            F.col("comp").alias("old_comp"),
+        )
+        # pointer jumping: comp := comp[comp] (labels only shrink)
+        jump = propagated.select(
+            F.col("id").alias("jid"), F.col("mid_comp").alias("jcomp")
+        )
+        updated = (
+            propagated.join(jump, propagated.mid_comp == jump.jid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("mid_comp"), F.coalesce(F.col("jcomp"), F.col("mid_comp"))
+                ).alias("new_comp"),
+                F.col("old_comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("new_comp") != F.col("old_comp")).count()
+        labels = updated.select("id", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
 def dedup_keep_list(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Greedy near-dup removal: for every verified pair drop the larger
     doc_id; returns the surviving (deduplicated) documents. (Greedy

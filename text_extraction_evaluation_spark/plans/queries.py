@@ -611,6 +611,38 @@ SELECT doc_id, unnest(fps) AS fingerprint FROM h WHERE len(fps) > 0
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the verified
+    MinHash-LSH pair graph (iterative min-label propagation on the
+    Spark side; recursive CTE in the DuckDB oracle). The production
+    answer to transitive duplicate chains — greedy pairwise removal
+    under-merges."""
+    from ..operators.dedup import connected_components, verified_near_dup_pairs
+
+    docs = _docs_par(spark, sf_dir)
+    pairs = verified_near_dup_pairs(docs, threshold=0.8).select(
+        "doc_id_a", "doc_id_b"
+    )
+    return connected_components(pairs)
+
+
+def _components_sql() -> str:
+    pairs = _minhash_verified_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+reach(src, node) AS (
+  SELECT doc_id_a, doc_id_a FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_b FROM pairs
+  UNION
+  SELECT r.src,
+         CASE WHEN p.doc_id_a = r.node THEN p.doc_id_b ELSE p.doc_id_a END
+  FROM reach r JOIN pairs p ON r.node IN (p.doc_id_a, p.doc_id_b)
+)
+SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document from md5 3-word-shingle hashes — one
     pass: explode distinct shingles, 48 conditional sums, recombine.
@@ -830,6 +862,7 @@ SQL_CHECKED = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_minhash_verified": (dedup_minhash_verified, _minhash_verified_sql()),
+    "dedup_components": (dedup_components, _components_sql()),
     "doc_rolling_fingerprints": (doc_rolling_fingerprints, _ROLLING_FP_SQL),
     "dedup_simhash": (dedup_simhash, _simhash_sql(pairs=False)),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_sql(pairs=True)),
