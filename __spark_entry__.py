@@ -88,6 +88,18 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs)
 
 
+def _worst_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extraction_evaluation_spark.operators.report import worst_documents
+
+    return worst_documents(_doc_scores(spark, sf_dir), k=10)
+
+
+def _status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extraction_evaluation_spark.operators.report import status_counts
+
+    return status_counts(_doc_scores(spark, sf_dir))
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_extraction_evaluation_spark.operators.multimodal import (
         extract_media_features,
@@ -119,6 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_lsh_topk"] = _ann_lsh
     out["lang_id"] = _lang_id
     out["media_features"] = _media_features
+    out["worst_documents"] = _worst_documents
+    out["status_counts"] = _status_counts
     return out
 
 

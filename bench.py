@@ -75,7 +75,10 @@ def main() -> None:
         "q_events_hourly",
         "text_quality",
         "dedup_minhash_lsh",
+        "dedup_minhash_verified",
+        "dedup_components",
         "dedup_simhash",
+        "doc_rolling_fingerprints",
         "ann_cosine_topk",
     ]
     for name in bench_queries:

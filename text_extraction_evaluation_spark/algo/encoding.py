@@ -57,7 +57,8 @@ def sniff_decode(raw: bytes) -> tuple[str, str]:
     if raw.startswith(codecs.BOM_UTF16_BE):
         return raw.decode("utf-16-be", "replace"), "utf-16-be"
 
-    m = _META_CHARSET_RE.search(raw[:2048])
+    head = raw[:2048]
+    m = _META_CHARSET_RE.search(head) if b"charset" in head else None
     if m:
         declared = m.group(1).decode("ascii", "ignore").lower()
         codec = _ALLOWED.get(declared)

@@ -36,9 +36,13 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(32, cores)
+    builder = SparkSession.builder.master(f"local[{cores}]").appName(app)
+    if os.path.isdir("/dev/shm"):
+        # shuffle on tmpfs: local-mode shuffle IO otherwise adds disk
+        # variance that dwarfs the compute being measured
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     return (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
