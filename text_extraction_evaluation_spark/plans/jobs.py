@@ -119,3 +119,25 @@ def read_extracted(spark: SparkSession, out_root: str) -> DataFrame | None:
     """User-facing view of the committed extraction output."""
     df = LocalCatalog(out_root).read(spark, "extracted")
     return None if df is None else df.select(*EXTRACTED_COLS)
+
+
+def run_score_job(
+    spark: SparkSession,
+    out_root: str,
+    gold: DataFrame,
+    extractor: str = "justext_spark",
+) -> LocalCatalog:
+    """Score the committed extraction output against gold and commit
+    ``scores`` + ``report`` tables (S4) — idempotent like extraction."""
+    from ..operators.report import ranked_report
+    from ..operators.score import score_extracted
+
+    cat = LocalCatalog(out_root)
+    extracted = read_extracted(spark, out_root)
+    if extracted is None:
+        raise RuntimeError(f"no committed extraction output under {out_root}")
+    scores = score_extracted(extracted, gold, extractor=extractor)
+    cat.commit_append(scores, "scores", "full")
+    scores_back = spark.read.parquet(cat.chunk_path("scores", "full"))
+    cat.commit_append(ranked_report(scores_back), "report", "full")
+    return cat
