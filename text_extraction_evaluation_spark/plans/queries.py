@@ -312,6 +312,76 @@ FROM events GROUP BY event_type
 """
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag over (user, ts), new session when the gap
+    exceeds 30 minutes, session id via running sum — the canonical
+    stateful-over-window pattern (stream-analytics shape, batch form)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so ntz->timestamp->
+    # long is floored epoch seconds (matches the oracle's floor(epoch()))
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq", F.sum("new_sess").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(epoch) - F.min(epoch)).alias("duration_sec"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS duration_sec,
+       ROUND(SUM(value), 4) AS session_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q2 skeleton): suppliers whose
+    account balance equals the minimum within their nation — decorrelated
+    by Catalyst into an aggregate + join."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    min_bal = sup.groupBy("s_nationkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        sup.join(F.broadcast(min_bal), "s_nationkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+_MIN_COST_SQL = """
+SELECT n_name, s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+FROM supplier s
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (
+  SELECT MIN(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators over `documents`
 # ---------------------------------------------------------------------------
@@ -854,6 +924,8 @@ SQL_CHECKED = {
     "q_rank_customers_window": (q_rank_customers_window, _RANK_SQL),
     "q_rollup_order_counts": (q_rollup_order_counts, _ROLLUP_SQL),
     "q_events_hourly": (q_events_hourly, _EVENTS_HOURLY_SQL),
+    "q_event_sessions": (q_event_sessions, _SESSIONS_SQL),
+    "q_min_cost_supplier": (q_min_cost_supplier, _MIN_COST_SQL),
     "q_events_json": (q_events_json, _EVENTS_JSON_SQL),
     "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
     "text_quality": (text_quality, _TEXT_QUALITY_SQL),
