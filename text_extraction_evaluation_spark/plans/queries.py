@@ -911,6 +911,77 @@ FROM n GROUP BY label
 """
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with sign-LSH blocking.
+
+    Scale path: bucket every vector by the sign pattern of its first 6
+    dimensions (axis-aligned random-projection LSH — deterministic so
+    the DuckDB oracle can reproduce it), self-join ONLY within buckets
+    (shuffle on the bucket key — never the O(n^2) cross join), then
+    verify exact cosine >= threshold on the surviving candidates. At
+    100 TB the bucket key bits scale up with corpus size to keep bucket
+    occupancy bounded; all arithmetic is JVM-side (zip_with/aggregate),
+    no Python UDF.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    bucket = sum(
+        F.when(F.element_at("v", i + 1) > 0, F.lit(2 ** (5 - i))).otherwise(F.lit(0))
+        for i in range(6)
+    )
+    base = emb.withColumn("nrm", nrm).withColumn("bucket", bucket.cast("int"))
+    a = base.select(
+        F.col("bucket").alias("b_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = base.select(
+        F.col("bucket").alias("b_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cos") >= 0.3)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("b_a").alias("bucket"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )
+
+
+_EMB_COSINE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         (CASE WHEN v[1] > 0 THEN 32 ELSE 0 END
+        + CASE WHEN v[2] > 0 THEN 16 ELSE 0 END
+        + CASE WHEN v[3] > 0 THEN 8 ELSE 0 END
+        + CASE WHEN v[4] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN v[5] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN v[6] > 0 THEN 1 ELSE 0 END)::INT AS bucket
+  FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -940,5 +1011,6 @@ SQL_CHECKED = {
     "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_sql(pairs=True)),
     "lang_distribution": (lang_distribution, _LANG_DIST_SQL),
     "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, _EMB_COSINE_SQL),
     "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
 }
