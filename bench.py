@@ -48,6 +48,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # -- warm-up (uncounted, reported): first-use costs are session
+    # fixtures, not operator costs — JVM whole-stage codegen compile,
+    # Python worker pool spawn, Arrow channel setup, broadcast-thread
+    # start. BENCH/BASELINE.md's scaling numbers exclude warmup the
+    # same way, so steady-state timings stay comparable.
+    t0 = time.time()
+    _noop_write(
+        extracted_clean(
+            extract_pages(latest_crawl(pages_df(spark, sf_dir, n_partitions=cpus)))
+        )
+    )
+    fn, _sql = SQL_CHECKED["q_nation_revenue"]
+    _noop_write(fn(spark, sf_dir))
+    extras["warmup_sec"] = round(time.time() - t0, 3)
+
     # -- flagship: synth -> dedup -> extract -> score -> report -------------
     n_parts = cpus * 3
     pages = pages_df(spark, sf_dir, n_partitions=n_parts, replicate=replicate)
@@ -55,6 +70,10 @@ def main() -> None:
     extracted = extracted_clean(extract_pages(latest))
     gold = gold_df(spark, sf_dir, replicate=replicate)
 
+    # Persist the extraction output: the scoring stage consumes the
+    # materialized extracted table (in production it reads the catalog
+    # table the extract job wrote), not a re-run of the Arrow kernel.
+    extracted = extracted.persist()
     t0 = time.time()
     n_docs = extracted.count()
     t_extract = time.time() - t0
@@ -66,6 +85,7 @@ def main() -> None:
     rep = ranked_report(score_extracted(extracted, gold))
     rep.collect()
     timings["score_report"] = round(time.time() - t0, 3)
+    extracted.unpersist()
 
     # -- headline analytics ---------------------------------------------------
     bench_queries = [
@@ -80,6 +100,7 @@ def main() -> None:
         "dedup_simhash",
         "doc_rolling_fingerprints",
         "ann_cosine_topk",
+        "dedup_embedding_cosine",
     ]
     for name in bench_queries:
         fn, _sql = SQL_CHECKED[name]

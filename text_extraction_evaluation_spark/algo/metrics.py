@@ -67,8 +67,15 @@ def bow_matched(retrieved: list[str], relevant: list[str]) -> int:
 def score_texts(extracted_text: str, gold_text: str) -> DocScore:
     retrieved = tokens(extracted_text)
     relevant = tokens(gold_text)
-    m_lcs = lcs_matched(retrieved, relevant)
-    m_bow = bow_matched(retrieved, relevant)
+    if retrieved == relevant:
+        # exact-match fast path: SequenceMatcher on identical sequences
+        # yields matched == len, and the multiset intersection equals
+        # len as well — skip both O(n*m) passes (the common case on a
+        # well-extracted corpus).
+        m_lcs = m_bow = len(retrieved)
+    else:
+        m_lcs = lcs_matched(retrieved, relevant)
+        m_bow = bow_matched(retrieved, relevant)
     p, r, f1 = _prf(m_lcs, len(retrieved), len(relevant))
     pb, rb, f1b = _prf(m_bow, len(retrieved), len(relevant))
     if not retrieved:

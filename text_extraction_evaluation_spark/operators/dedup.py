@@ -164,9 +164,14 @@ def connected_components(
     edges = pairs.select(
         F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
     )
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # Materialize the edge list ONCE: upstream `pairs` is typically the
+    # whole MinHash+verify pipeline, and without this every propagation
+    # round would re-run it from scratch (measured 8s -> ~2s at sf0.1).
+    sym = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
