@@ -35,7 +35,7 @@ def get_spark(
     coalescing (SURVEY.md §4).
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(32, cores)
+    shuffle_partitions = shuffle_partitions or 2 * cores
     builder = SparkSession.builder.master(f"local[{cores}]").appName(app)
     if os.path.isdir("/dev/shm"):
         # shuffle on tmpfs: local-mode shuffle IO otherwise adds disk
@@ -45,6 +45,14 @@ def get_spark(
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # AQE coalesces post-shuffle partitions by SHUFFLE BYTES, but a
+        # Python-kernel stage costs per-row CPU: with the default 1 MB
+        # floor the well-compressed html shuffle collapsed to 16
+        # partitions on 32 cores (half idle + 3x row skew through the
+        # extraction kernel — measured 6.6s -> 4.0s median at sf0.1).
+        # A 64 KB floor lets parallelismFirst keep every core fed while
+        # still merging genuinely tiny partitions.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html:binary dominates batch memory; cap records per Arrow
