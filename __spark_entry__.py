@@ -109,6 +109,15 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(synth_media_df(spark, n=128), dim=16)
 
 
+def _pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extraction_evaluation_spark.operators.multimodal import (
+        pdf_extract_pages,
+        synth_pdf_df,
+    )
+
+    return pdf_extract_pages(synth_pdf_df(spark, n=128))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize pages from the sf0.001 seed corpus, dedup to
     the latest crawl, extract main content (jusText-style Arrow kernel),
@@ -131,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_lsh_topk"] = _ann_lsh
     out["lang_id"] = _lang_id
     out["media_features"] = _media_features
+    out["pdf_pages"] = _pdf_pages
     out["worst_documents"] = _worst_documents
     out["status_counts"] = _status_counts
     return out

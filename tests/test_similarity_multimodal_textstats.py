@@ -140,3 +140,42 @@ def test_rolling_fingerprints(spark):
     a = {r["fingerprint"] for r in rows if r["doc_id"] < 1000000}
     b = {r["fingerprint"] for r in rows if r["doc_id"] >= 1000000}
     assert a == b and a
+
+
+def test_pdf_extract_pages_layout_order(spark):
+    import hashlib
+
+    from text_extraction_evaluation_spark.operators.multimodal import (
+        pdf_extract_pages,
+        synth_pdf_df,
+    )
+
+    pdfs = synth_pdf_df(spark, n=32)
+    pages = pdf_extract_pages(pdfs).collect()
+    # one row per (doc, page); doc d has 1 + d % 4 pages
+    assert len(pages) == sum(1 + d % 4 for d in range(32))
+    assert all(r["status"] == "ok" for r in pages)
+    # reading order recomputed independently for doc 5 page 0
+    did, p = 5, 0
+    expect = []
+    for b in range(2 + (did + p) % 3):
+        seed = hashlib.sha256(f"{did}-{p}-{b}".encode()).digest()
+        expect.append((seed[0] % 100, seed[1] % 50, f"block {did}.{p}.{b} word{seed[2] % 7}"))
+    expect.sort()
+    got = next(r for r in pages if r["doc_id"] == did and r["page"] == p)
+    assert got["text"] == "\n".join(t for _, _, t in expect)
+    assert got["n_blocks"] == len(expect)
+
+
+def test_pdf_extract_pages_corrupt_and_real_stub(spark):
+    import pytest as _pytest
+
+    from text_extraction_evaluation_spark.operators.multimodal import pdf_extract_pages
+
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"not a pdf"), 1)], "doc_id long, payload binary, n_pages int"
+    )
+    rows = pdf_extract_pages(bad).collect()
+    assert [(r["doc_id"], r["status"], r["text"]) for r in rows] == [(99, "decode_error", "")]
+    with _pytest.raises(Exception, match="NotImplementedError|pdfium"):
+        pdf_extract_pages(bad, decoder="real").collect()

@@ -117,3 +117,88 @@ def frame_sample_plan(media: DataFrame, every_nth: int = 5) -> DataFrame:
         lambda i: i % every_nth == 0,
     )
     return vids.select("media_id", F.explode(idx).alias("frame_idx"))
+
+
+# ---------------------------------------------------------------------------
+# PDF / layout parse (north-rule extraction family: "HTML boilerplate
+# strip, PDF/layout parse, DOM heuristics"). The PDF codec itself is
+# stubbed (no pdfium/poppler in this sandbox) but everything Spark-side
+# is real: opaque binary column, column pruning, Arrow batching, and
+# the LAYOUT logic — reading-order reconstruction from positioned text
+# blocks — runs for real on the deterministic fake container.
+# ---------------------------------------------------------------------------
+
+PDF_SCHEMA = "doc_id long, payload binary, n_pages int"
+PDF_PAGES_SCHEMA = "doc_id long, page int, text string, n_blocks int, status string"
+
+
+def synth_pdf_df(spark: SparkSession, n: int = 64, n_partitions: int = 8) -> DataFrame:
+    """Deterministic fake-PDF table. Each payload is a parseable binary
+    container: ``b'%FPDF'`` magic, then per page a set of positioned
+    text blocks serialized as ``y|x|text`` lines — enough structure
+    that the layout-parse kernel does real work (block sort, reading
+    order), with only the codec faked."""
+    base = spark.range(n).withColumnRenamed("id", "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_pages = 1 + did % 4
+                pages = []
+                for p in range(n_pages):
+                    blocks = []
+                    for b in range(2 + (did + p) % 3):
+                        seed = hashlib.sha256(f"{did}-{p}-{b}".encode()).digest()
+                        y, x = seed[0] % 100, seed[1] % 50
+                        blocks.append(f"{y}|{x}|block {did}.{p}.{b} word{seed[2] % 7}")
+                    pages.append("\x1e".join(blocks))
+                payload = b"%FPDF" + "\x1d".join(pages).encode("utf-8")
+                rows.append((did, payload, n_pages))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "n_pages"])
+
+    return base.repartition(n_partitions, "doc_id").mapInPandas(gen, PDF_SCHEMA)
+
+
+def pdf_extract_pages(
+    pdfs: DataFrame, decoder: str = "deterministic_fake"
+) -> DataFrame:
+    """pdf table -> one row per page with layout-ordered text.
+
+    Layout parse: blocks are sorted into reading order by (y, x) —
+    top-to-bottom then left-to-right — and joined with newlines; a
+    corrupt/unknown container yields a ('', 'decode_error') row rather
+    than failing the partition. ``decoder='real'`` raises at the exact
+    pdfium/poppler integration point a production build fills in."""
+    pruned = pdfs.select("doc_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"], strict=True):
+                did = int(did)
+                raw = bytes(payload)
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "real PDF decode requires pdfium/poppler — not "
+                        "installed in this sandbox; integration point "
+                        "for production builds"
+                    )
+                if not raw.startswith(b"%FPDF"):
+                    rows.append((did, 0, "", 0, "decode_error"))
+                    continue
+                for p, page in enumerate(raw[5:].decode("utf-8").split("\x1d")):
+                    blocks = []
+                    for blk in page.split("\x1e"):
+                        y, x, text = blk.split("|", 2)
+                        blocks.append((int(y), int(x), text))
+                    blocks.sort()  # reading order: top-to-bottom, left-to-right
+                    rows.append(
+                        (did, p, "\n".join(t for _, _, t in blocks), len(blocks), "ok")
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "text", "n_blocks", "status"]
+            )
+
+    return pruned.mapInPandas(kernel, PDF_PAGES_SCHEMA)

@@ -982,6 +982,154 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click by the same
+    user at-or-before the purchase timestamp.
+
+    Spark has no ASOF JOIN operator; the scalable composition is
+    union + window (SURVEY.md §2.4 "custom operators"): tag both
+    streams, sort once per user, and carry the last-seen click forward
+    with ``last(..., ignorenulls)``. ONE shuffle on user_id, O(n log n)
+    per key — never the range-join explosion of
+    ``p JOIN c ON c.ts <= p.ts`` + argmax. Clicks are pre-aggregated
+    per (user, ts) so ties are deterministic in both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select("user_id", "ts", "click_value", F.lit(1).alias("is_click"),
+                F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("double").alias("purchase_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("double").alias("click_value"),
+        F.lit(0).alias("is_click"), "event_id",
+        F.col("value").alias("purchase_value"),
+    )
+    # at equal ts the click sorts first (is_click desc) => "at-or-before"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "*",
+        F.last(F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True)
+        .over(w).alias("click_ts"),
+        F.last(F.col("click_value"), ignorenulls=True).over(w).alias("last_click_value"),
+    )
+    return merged.filter(F.col("is_click") == 0).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+        "click_ts",
+        F.col("last_click_value").alias("click_value"),
+    )
+
+
+_ASOF_SQL = """
+WITH c AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+       c.ts AS click_ts, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours: the scale path past
+    brute-force (`ann_cosine_topk`) and RP-LSH (`ann_lsh_topk`).
+
+    Coarse quantizer = the first N_CENTROIDS vectors (deterministic so
+    the DuckDB oracle reproduces it; production swaps in k-means
+    centroids). Every vector is assigned to its nearest centroid
+    (broadcast centroid table — map-side, no shuffle of the corpus);
+    each query probes its NPROBE nearest cells and scans only those
+    inverted lists via an equi-join on cell id. At 100 TB the cell
+    count scales with corpus size so list length stays bounded.
+    """
+    n_centroids, nprobe, topk, n_queries = 8, 2, 3, 10
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sq = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    base = emb.withColumn("nrm", sq)
+    cent = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    ccos = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    ) / (F.col("nrm") * F.col("cn"))
+    wassign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    ranked = (
+        base.join(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crank", F.row_number().over(wassign))
+    )
+    cells = ranked.filter(F.col("crank") == 1).select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
+    probes = (
+        ranked.filter((F.col("vec_id") < n_queries) & (F.col("crank") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"), F.col("cid").alias("cell"))
+    )
+    qcos = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    ) / (F.col("qn") * F.col("nrm"))
+    wtop = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", qcos)
+        .withColumn("nn_rank", F.row_number().over(wtop))
+        .filter(F.col("nn_rank") <= topk)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "nn_rank",
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8
+), ranked AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) DESC, cent.cid
+         ) AS crank
+  FROM n CROSS JOIN cent
+), cells AS (
+  SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cell
+  FROM ranked WHERE vec_id < 10 AND crank <= 2
+), scored AS (
+  SELECT query_id, cells.vec_id AS neighbor_id,
+         list_dot_product(qv, cells.v) / (qn * cells.nrm) AS cos
+  FROM probes JOIN cells USING (cell)
+  WHERE cells.vec_id <> query_id
+), top AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, nn_rank, ROUND(cos, 4) AS cos_sim
+FROM top WHERE nn_rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1012,5 +1160,7 @@ SQL_CHECKED = {
     "lang_distribution": (lang_distribution, _LANG_DIST_SQL),
     "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _EMB_COSINE_SQL),
+    "q_events_asof_join": (q_events_asof_join, _ASOF_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, _IVF_SQL),
     "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
 }
