@@ -101,6 +101,8 @@ def main() -> None:
         "doc_rolling_fingerprints",
         "ann_cosine_topk",
         "dedup_embedding_cosine",
+        "ann_ivf_topk",
+        "q_events_asof_join",
     ]
     for name in bench_queries:
         fn, _sql = SQL_CHECKED[name]

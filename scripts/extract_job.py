@@ -20,6 +20,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicate", type=int, default=256)
     ap.add_argument("--partitions-per-core", type=int, default=3)
+    ap.add_argument("--stage-breakdown", action="store_true")
     ap.add_argument(
         "--total-cores", type=int, default=0,
         help="override cluster core count (defaultParallelism is "
@@ -33,6 +34,11 @@ def main() -> None:
         SparkSession.builder.appName("extract-job")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # same rationale as sources/readers.get_spark: AQE's byte-based
+        # coalescing starves the per-row-CPU Python kernel stage of
+        # partitions (16 of 32 cores busy at sf0.1) — keep a low floor
+        # so parallelismFirst fills every core.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .getOrCreate()
     )
@@ -56,6 +62,11 @@ def main() -> None:
 
     pages = pages_df(spark, args.sf_dir, n_partitions=n_parts, replicate=args.replicate)
     pipeline = extracted_clean(extract_pages(latest_crawl(pages)))
+    extras = {}
+    if args.stage_breakdown:
+        t0 = time.time(); pages.count(); extras["t_synth"] = round(time.time() - t0, 3)
+        t0 = time.time(); latest_crawl(pages).count()
+        extras["t_synth_window"] = round(time.time() - t0, 3)
     t0 = time.time()
     n_docs = pipeline.count()
     wall = time.time() - t0
@@ -69,6 +80,7 @@ def main() -> None:
                 "docs_per_sec": round(n_docs / wall, 1),
                 "replicate": args.replicate,
                 "sf_dir": args.sf_dir,
+                **extras,
             }
         )
     )

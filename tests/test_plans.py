@@ -100,3 +100,37 @@ def test_latest_crawl_single_shuffle(spark):
     # exactly one exchange for the window (plus the synth repartition)
     n_exchanges = plan.count("Exchange hashpartitioning(url")
     assert n_exchanges == 1
+
+
+def test_asof_join_is_zero_join_single_shuffle(spark):
+    """The as-of composition must never produce a join operator (the
+    range-join explosion it exists to avoid) — just a union feeding one
+    window shuffle per key."""
+    from text_extraction_evaluation_spark.plans.queries import q_events_asof_join
+
+    plan = plan_of(q_events_asof_join(spark, SF0001))
+    assert "Join" not in plan
+    # two exchanges total: the tiny clicks pre-aggregation on
+    # (user_id, ts) and the one window shuffle on user_id — never a
+    # shuffle per side plus a join
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_ivf_no_cartesian_and_cell_equijoin(spark):
+    """IVF: corpus may meet the (tiny, broadcast) centroid table via a
+    nested-loop broadcast, but the inverted-list probe must be an
+    equi-join on the cell id — never a cartesian product."""
+    from text_extraction_evaluation_spark.plans.queries import ann_ivf_topk
+
+    plan = plan_of(ann_ivf_topk(spark, SF0001))
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
+    assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+
+
+def test_embedding_cosine_bucket_equijoin(spark):
+    from text_extraction_evaluation_spark.plans.queries import dedup_embedding_cosine
+
+    plan = plan_of(dedup_embedding_cosine(spark, SF0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

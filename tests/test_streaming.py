@@ -44,3 +44,69 @@ def test_stream_extraction_matches_batch(spark, tmp_path_factory):
     q2.awaitTermination(300)
     n_after = spark.read.parquet(out_dir).count()
     assert n_after == len(want)
+
+
+def test_sessionize_events_stream_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState gap sessionization over a chronologically
+    arriving file stream: every event is accounted for in exactly one
+    emitted session (closed sessions + the final live session), and
+    closed sessions are disjoint in time."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from text_extraction_evaluation_spark.streaming.stream import (
+        sessionize_events_stream,
+    )
+
+    base = tmp_path_factory.mktemp("sess")
+    events_dir = str(base / "events")
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    ev = (
+        spark.read.parquet(f"{SF0001}/events.parquet")
+        .select("user_id", "ts")
+        .filter("user_id < 12")
+    )
+    # chronological arrival: three time-range files written in order
+    # (watermarked stateful ops drop rows far behind max event time —
+    # the operator's documented arrival contract)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    for i in range(3):
+        part = ev.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi + pd.Timedelta("1s")))
+        )
+        part.coalesce(1).write.mode("append").parquet(events_dir)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        sessionize_events_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir).toPandas()
+    assert len(out) > 0
+    want = {r["user_id"]: r["n"] for r in
+            ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    for uid, grp in out.groupby("user_id"):
+        closed = grp[grp.closed]
+        last_close = closed.t_last.max() if len(closed) else pd.Timestamp.min
+        live = grp[(~grp.closed) & (grp.t_first > last_close)]
+        final_live = live.session_events.max() if len(live) else 0
+        assert closed.session_events.sum() + final_live == want[uid], uid
+        # closed sessions must not overlap
+        spans = sorted(zip(closed.t_first, closed.t_last))
+        for (a1, b1), (a2, _b2) in zip(spans, spans[1:]):
+            assert b1 < a2

