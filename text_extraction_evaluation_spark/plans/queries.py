@@ -175,11 +175,17 @@ GROUP BY r_name, n_name
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (the same shape as the resume pending-work join
-    J2, SURVEY.md §2.4)."""
+    J2, SURVEY.md §2.4): customers with no URGENT-priority order.
+    (Every customer has SOME order in this fixture, so the anti-join is
+    against the urgent subset — non-trivial result at every SF.)"""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
@@ -188,7 +194,9 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_customers
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
 GROUP BY c_mktsegment
 """
 
@@ -475,21 +483,37 @@ FROM documents
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on the content fingerprint; emits
-    duplicate groups (empty on this corpus — the planted duplicates are
-    near-dups, which minhash/jaccard below DO find)."""
-    fp = doc_fingerprint(spark, sf_dir)
+    """Exact dedup: hash-groupBy on the content fingerprint over the
+    corpus plus a deterministically re-crawled subset (doc_id % 10 == 0
+    re-keyed at +1e6 — the fixture corpus itself has only NEAR-dups,
+    which minhash/jaccard below find; re-crawls model byte-identical
+    refetches). Emits duplicate groups with the canonical keeper id.
+    At 100 TB this is one map-side fingerprint + one hash aggregate —
+    the cheapest dedup tier, always run before the LSH tiers."""
+    docs = _docs_par(spark, sf_dir).select("doc_id", "text")
+    recrawl = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
     return (
-        fp.groupBy("fingerprint")
+        docs.unionByName(recrawl)
+        .select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
 
 
 _DEDUP_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)
 SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
        COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
