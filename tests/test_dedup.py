@@ -64,8 +64,12 @@ def test_dedup_keep_list_drops_one_side(spark, docs):
 def test_exact_dedup_on_duplicated_input(spark, docs):
     from text_extraction_evaluation_spark.plans.queries import dedup_exact
 
-    # corpus has no exact dups...
-    assert dedup_exact(spark, SF0001).count() == 0
+    # the operator plants a re-crawl of every 10th doc: one duplicate
+    # group per planted re-crawl, each keeping the original id
+    groups_df = dedup_exact(spark, SF0001)
+    n_base = docs.count()
+    assert groups_df.count() == n_base // 10
+    assert groups_df.filter(F.col("keep_doc_id") >= 1_000_000).count() == 0
     # ...but a doubled corpus has every doc duplicated
     doubled = docs.unionByName(docs)
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
