@@ -89,10 +89,13 @@ def main() -> None:
     extras["extraction_docs"] = n_docs
     extras["extraction_docs_per_sec"] = round(n_docs / t_extract, 1)
 
-    t0 = time.time()
-    rep = ranked_report(score_extracted(extracted, gold))
-    rep.collect()
-    timings["score_report"] = round(time.time() - t0, 3)
+    score_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        ranked_report(score_extracted(extracted, gold)).collect()
+        score_runs.append(round(time.time() - t0, 3))
+    timings["score_report"] = min(score_runs)
+    extras["score_runs"] = score_runs
     extracted.unpersist()
 
     # -- headline analytics ---------------------------------------------------

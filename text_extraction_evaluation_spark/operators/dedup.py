@@ -156,10 +156,13 @@ def connected_components(
     node adopts the minimum label in its closed neighborhood, then
     labels compress through the label graph (comp := comp[comp]) —
     plain propagation is O(diameter) rounds, the jumping step makes it
-    O(log n) (a 40-node path converges in ~7 rounds, tested). Per
-    round: two joins + one aggregate; lineage truncated with
-    localCheckpoint so the plan does not grow with iterations;
-    convergence detected by counting changed labels.
+    O(log n) (a 40-node path converges in ~7 rounds, tested). TWO
+    propagation rounds run per driver round-trip (lineage truncated
+    with one localCheckpoint); convergence is detected by the label
+    sum reaching a fixpoint — labels only shrink elementwise, so an
+    unchanged sum(comp) is exactly "no label changed", one tiny
+    aggregate instead of a join + count per check. Driver round-trips
+    dominate wall time on small graphs; halving them matters.
     """
     edges = pairs.select(
         F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
@@ -178,38 +181,36 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    def one_round(lbl: DataFrame) -> DataFrame:
         neigh_min = (
-            sym.join(labels, sym.b == labels.id)
+            sym.join(lbl, sym.b == lbl.id)
             .groupBy("a")
             .agg(F.min("comp").alias("neigh_comp"))
         )
-        propagated = labels.join(neigh_min, labels.id == neigh_min.a, "left").select(
+        propagated = lbl.join(neigh_min, lbl.id == neigh_min.a, "left").select(
             "id",
             F.least(
                 F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))
             ).alias("mid_comp"),
-            F.col("comp").alias("old_comp"),
         )
         # pointer jumping: comp := comp[comp] (labels only shrink)
         jump = propagated.select(
             F.col("id").alias("jid"), F.col("mid_comp").alias("jcomp")
         )
-        updated = (
-            propagated.join(jump, propagated.mid_comp == jump.jid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("mid_comp"), F.coalesce(F.col("jcomp"), F.col("mid_comp"))
-                ).alias("new_comp"),
-                F.col("old_comp"),
-            )
-            .localCheckpoint()
+        return propagated.join(jump, propagated.mid_comp == jump.jid, "left").select(
+            "id",
+            F.least(
+                F.col("mid_comp"), F.coalesce(F.col("jcomp"), F.col("mid_comp"))
+            ).alias("comp"),
         )
-        changed = updated.filter(F.col("new_comp") != F.col("old_comp")).count()
-        labels = updated.select("id", F.col("new_comp").alias("comp"))
-        if changed == 0:
+
+    prev_sum = None
+    for _ in range((max_iter + 1) // 2):
+        labels = one_round(one_round(labels)).localCheckpoint()
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
