@@ -1,0 +1,86 @@
+"""Dump formatted physical plans of the flagship pipeline and key
+queries to PLANS.md — the reviewable evidence that filters push down,
+dimensions broadcast, kernels see pruned columns, and no plan holds a
+cartesian product. Regenerate: python scripts/dump_plans.py"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import pathlib
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def main() -> None:
+    from text_extraction_evaluation_spark.operators.extract import (
+        extract_pages,
+        extracted_clean,
+        latest_crawl,
+    )
+    from text_extraction_evaluation_spark.operators.score import score_extracted
+    from text_extraction_evaluation_spark.plans.queries import SQL_CHECKED
+    from text_extraction_evaluation_spark.sources.readers import (
+        get_spark,
+        gold_df,
+        pages_df,
+    )
+
+    spark = get_spark("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.001"
+
+    sections: list[tuple[str, str, object]] = []
+    pages = pages_df(spark, sf, n_partitions=8)
+    extracted = extracted_clean(extract_pages(latest_crawl(pages)))
+    sections.append((
+        "Flagship extraction pipeline",
+        "synth (MapInPandas) -> ONE url-hash shuffle for the "
+        "latest-crawl window -> extraction kernel (MapInPandas) with an "
+        "explicit pruning Project before it (gold text never enters the "
+        "Arrow channel)",
+        extracted,
+    ))
+    sections.append((
+        "Scoring (J1 broadcast + M1/M2 kernel)",
+        "gold is BroadcastExchange'd — zero shuffle of the extracted side",
+        score_extracted(extracted, gold_df(spark, sf)),
+    ))
+    for name, why in [
+        ("q1_pricing_summary", "shipdate filter reaches the parquet scan "
+         "(PushedFilters) and only needed columns are read (ReadSchema)"),
+        ("q_nation_revenue", "all four dimensions broadcast; the single "
+         "potential wide join is handled by AQE"),
+        ("q_events_asof_join", "zero Join operators — union + one window "
+         "shuffle per key instead of a range join"),
+        ("ann_ivf_topk", "broadcast coarse quantizer; inverted-list probe "
+         "is an equi-join on the cell id, no cartesian product"),
+        ("dedup_minhash_lsh", "LSH bucket pair-generation shuffles only "
+         "(band, band_key) — shingles never cross the wire"),
+    ]:
+        fn, _ = SQL_CHECKED[name]
+        sections.append((name, why, fn(spark, sf)))
+
+    out = io.StringIO()
+    out.write(
+        "# PLANS.md — captured physical plans (regenerate: "
+        "`python scripts/dump_plans.py`)\n\n"
+        f"Spark {spark.version}, AQE on, sf0.001 inputs. The properties\n"
+        "called out per section are asserted in tests/test_plans.py; this\n"
+        "file is the human-readable evidence.\n"
+    )
+    for title, why, df in sections:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out.write(f"\n## {title}\n\n{why}.\n\n```\n{buf.getvalue().strip()}\n```\n")
+
+    (ROOT / "PLANS.md").write_text(out.getvalue())
+    print("wrote PLANS.md", len(out.getvalue()), "bytes")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
