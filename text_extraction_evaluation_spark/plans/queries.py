@@ -1154,6 +1154,114 @@ FROM top WHERE nn_rank <= 3
 """
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (adapted to the fixture's simplified orders
+    schema): top-10 unshipped-revenue orders for one market segment.
+    customer is broadcast; the lineitem⋈orders equi-join is the one
+    wide dependency (co-partition/bucket both on orderkey at 100 TB);
+    top-k via a single global sort-limit (Spark's TakeOrderedAndProject
+    — never a full sort materialization)."""
+    cutoff = "1998-01-01"
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO parts in one month.
+    part is broadcast (map-side join against the date-pruned lineitem
+    scan); conditional aggregation, single-row result."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-03-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                (F.lit(100.0) * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double"))
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT ROUND(
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE),
+         6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-03-01'
+"""
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations in
+    one pass (partial-agg friendly; complements the rollup query)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_totalprice"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 4) AS avg_totalprice
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1186,5 +1294,8 @@ SQL_CHECKED = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, _EMB_COSINE_SQL),
     "q_events_asof_join": (q_events_asof_join, _ASOF_SQL),
     "ann_ivf_topk": (ann_ivf_topk, _IVF_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
+    "q_cube_order_stats": (q_cube_order_stats, _CUBE_SQL),
     "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
 }
