@@ -134,3 +134,41 @@ def test_embedding_cosine_bucket_equijoin(spark):
     plan = plan_of(dedup_embedding_cosine(spark, SF0001))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salting_spreads_hot_url(spark):
+    """The north-rule skew case: one url crawled thousands of times
+    pins a single Python worker under plain url-hash partitioning;
+    salting on (url, warc_ts) spreads its crawls across partitions
+    while staying deterministic."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_evaluation_spark.operators.extract import salted_repartition
+
+    hot = spark.range(400).select(
+        F.lit("https://skew.example/hot").alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("warc_ts"),
+        F.lit(b"<html></html>").alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    cold = spark.range(400).select(
+        F.concat(F.lit("https://host"), F.col("id"), F.lit(".example/p")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("warc_ts"),
+        F.lit(b"<html></html>").alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    pages = hot.unionByName(cold)
+
+    def sizes(df):
+        return [
+            r["count"]
+            for r in df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        ]
+
+    plain = sizes(pages.repartition(8, F.pmod(F.xxhash64("url"), F.lit(8))))
+    salted = sizes(salted_repartition(pages, 8))
+    # plain url-hash: every hot crawl lands in ONE partition (>= 400)
+    assert max(plain) >= 400
+    # salted: the hot url spreads; the largest partition carries well
+    # under half of the hot mass
+    assert max(salted) < 400 * 0.5 + 800 / 8
