@@ -100,15 +100,6 @@ def _status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return status_counts(_doc_scores(spark, sf_dir))
 
 
-def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from text_extraction_evaluation_spark.operators.multimodal import (
-        extract_media_features,
-        synth_media_df,
-    )
-
-    return extract_media_features(synth_media_df(spark, n=128), dim=16)
-
-
 def _pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_extraction_evaluation_spark.operators.multimodal import (
         pdf_extract_pages,
@@ -139,7 +130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_scores"] = _doc_scores
     out["ann_lsh_topk"] = _ann_lsh
     out["lang_id"] = _lang_id
-    out["media_features"] = _media_features
     out["pdf_pages"] = _pdf_pages
     out["worst_documents"] = _worst_documents
     out["status_counts"] = _status_counts

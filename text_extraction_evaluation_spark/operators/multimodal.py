@@ -44,7 +44,12 @@ def synth_media_df(spark: SparkSession, n: int = 64, n_partitions: int = 8) -> D
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 kind = kinds[mid % 3]
-                payload = hashlib.sha256(f"media-{mid}".encode()).digest() * (4 + mid % 5)
+                # ASCII hex payload (still carried as an opaque binary
+                # column) so the DuckDB oracle can regenerate it with
+                # repeat(sha256(...), reps) — see _MEDIA_FEATURES_SQL.
+                payload = hashlib.sha256(f"media-{mid}".encode()).hexdigest().encode() * (
+                    4 + mid % 5
+                )
                 meta = {
                     "width": 64 + (mid % 8) * 16 if kind != "audio" else None,
                     "height": 64 + (mid % 4) * 16 if kind != "audio" else None,
@@ -59,16 +64,18 @@ def synth_media_df(spark: SparkSession, n: int = 64, n_partitions: int = 8) -> D
 
 
 def _fake_decode_feature(payload: bytes, kind: str, dim: int) -> np.ndarray:
-    """Deterministic stand-in for decode+embed: seeded by payload hash.
-    Shape-correct float32 features, reproducible across runs/engines."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    # splitmix-style expansion, no RandomState (version-stable)
+    """Deterministic stand-in for decode+embed, seeded by payload bytes.
+
+    Per-dim value = md5 15-hex-prefix of ``payload || ':' || i`` mapped
+    to [-1, 1) — the registry's engine-portable hash primitive, so the
+    DuckDB oracle computes the *identical* float32 features (all
+    arithmetic in double, one final cast to float32 on both engines).
+    Shape-correct, reproducible across runs/engines."""
     vals = np.empty(dim, dtype=np.float64)
-    x = seed
     for i in range(dim):
-        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        vals[i] = (x >> 11) / float(1 << 53)
-    return (vals.astype(np.float32) - 0.5) * 2.0
+        h = int(hashlib.md5(payload + b":" + str(i).encode()).hexdigest()[:15], 16)
+        vals[i] = (h / float(1 << 60) - 0.5) * 2.0
+    return vals.astype(np.float32)
 
 
 def extract_media_features(

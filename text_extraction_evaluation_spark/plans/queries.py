@@ -280,7 +280,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
         )
     )
 
@@ -289,7 +291,7 @@ _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
        ROUND(AVG(value), 6) AS avg_value,
-       ROUND(SUM(value), 4) AS sum_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -339,7 +341,9 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.max(epoch) - F.min(epoch)).alias("duration_sec"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("session_value"),
         )
     )
 
@@ -354,13 +358,13 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT user_id, ts, value,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM g
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS duration_sec,
-       ROUND(SUM(value), 4) AS session_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS session_value
 FROM s GROUP BY user_id, session_seq
 """
 
@@ -1262,6 +1266,43 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing, driver-hashable shape: synthesize the
+    deterministic media table, run the Arrow feature kernel, and explode
+    the feature vector to (media_id, dim_idx, value) rows. The fake
+    decode is the registry's md5-prefix hash primitive, so the DuckDB
+    twin regenerates the identical float32 features from scratch."""
+    from ..operators.multimodal import extract_media_features, synth_media_df
+
+    feats = extract_media_features(synth_media_df(spark, n=128), dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "feat_dim",
+        "status",
+        F.posexplode("feature").alias("dim_idx", "value"),
+    ).withColumn("value", F.round(F.col("value").cast("double"), 6))
+
+
+_MEDIA_FEATURES_SQL = """
+WITH m AS (
+  SELECT media_id,
+         CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         repeat(sha256('media-' || media_id), 4 + media_id % 5) AS payload_str
+  FROM range(128) t(media_id)
+), f AS (
+  SELECT media_id, kind, length(payload_str) AS n_bytes, CAST(i AS INTEGER) AS dim_idx,
+         ('0x' || substr(md5(payload_str || ':' || i), 1, 15))::BIGINT AS h
+  FROM m, range(16) r(i)
+)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, 16 AS feat_dim, 'ok' AS status,
+       dim_idx,
+       ROUND(CAST(CAST((h / 1152921504606846976.0 - 0.5) * 2.0 AS FLOAT) AS DOUBLE), 6) AS value
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1298,4 +1339,5 @@ SQL_CHECKED = {
     "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
     "q_cube_order_stats": (q_cube_order_stats, _CUBE_SQL),
     "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
+    "media_features": (media_features, _MEDIA_FEATURES_SQL),
 }
