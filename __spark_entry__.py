@@ -74,41 +74,6 @@ def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_extracted(extracted, gold_df(spark, sf_dir))
 
 
-def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from text_extraction_evaluation_spark.operators.similarity import ann_lsh_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(8, "vec_id")
-    return ann_lsh_topk(emb, list(range(10)), k=5)
-
-
-def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from text_extraction_evaluation_spark.operators.textstats import lang_id
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(8, "doc_id")
-    return lang_id(docs)
-
-
-def _worst_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from text_extraction_evaluation_spark.operators.report import worst_documents
-
-    return worst_documents(_doc_scores(spark, sf_dir), k=10)
-
-
-def _status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from text_extraction_evaluation_spark.operators.report import status_counts
-
-    return status_counts(_doc_scores(spark, sf_dir))
-
-
-def _pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from text_extraction_evaluation_spark.operators.multimodal import (
-        pdf_extract_pages,
-        synth_pdf_df,
-    )
-
-    return pdf_extract_pages(synth_pdf_df(spark, n=128))
-
-
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize pages from the sf0.001 seed corpus, dedup to
     the latest crawl, extract main content (jusText-style Arrow kernel),
@@ -128,11 +93,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extracted_texts"] = _extracted_texts
     out["extract_spans"] = _extract_spans
     out["doc_scores"] = _doc_scores
-    out["ann_lsh_topk"] = _ann_lsh
-    out["lang_id"] = _lang_id
-    out["pdf_pages"] = _pdf_pages
-    out["worst_documents"] = _worst_documents
-    out["status_counts"] = _status_counts
     return out
 
 

@@ -1,0 +1,129 @@
+"""Freeze golden fingerprints for the extraction-family driver gates.
+
+Runs the pinned single-process oracle (oracle/run_oracle.py — pandas, no
+Spark) at sf0.001 and sf0.01 and prints the order-independent content
+fingerprints that plans/queries.py freezes as oracle-SQL constants:
+
+* extract_text_fingerprint  — 48-bit md5-prefix sum over
+  url|lang|status|n_paragraphs|n_good|text per extracted doc
+* extract_spans_fingerprint — same over
+  url|idx|class_cf|class_final|word_count|heading per span, plus
+  floor(1e9 * density) integer sums (exact: span densities are
+  bitwise-identical between the oracle and the Spark kernel, see
+  tests/test_parity.py::test_spans_parity)
+* doc_scores_fingerprint    — same over
+  url|extractor|dataset|matched|matched_bow|retrieved|relevant|status
+  plus floor(1e9 * metric) sums for the six P/R/F1 doubles
+* status_counts             — literal (extractor, dataset, status, n)
+
+The constants are derived from the ORACLE (the independent
+implementation the parity suite pins), never from the Spark pipeline —
+a Spark regression therefore shows up as a driver hash mismatch.
+
+Usage: python scripts/freeze_fingerprints.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from oracle.run_oracle import (
+    oracle_extract,
+    oracle_gold,
+    oracle_latest_crawl,
+    oracle_pages,
+    oracle_scores,
+    oracle_spans,
+)
+
+SF_DIRS = {
+    "sf0.001": "/root/testdata/sf0.001/documents.parquet",
+    "sf0.01": "/root/testdata/sf0.01/documents.parquet",
+}
+
+
+def fp48(s: str) -> int:
+    """First 12 hex chars of md5 -> 48-bit int (matches the registry's
+    conv(substring(md5(x), 1, 12), 16, 10) Spark expression)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+
+
+def q9(x: float) -> int:
+    return math.floor(x * 1e9)
+
+
+def main() -> None:
+    import pandas as pd
+
+    for sf, path in SF_DIRS.items():
+        docs = pd.read_parquet(path)
+        pages = oracle_pages(docs)
+        latest = oracle_latest_crawl(pages)
+        extracted = oracle_extract(latest)
+        spans = oracle_spans(latest)
+        scores = oracle_scores(extracted, oracle_gold(docs))
+        n_docs = len(docs)
+
+        t_fp = sum(
+            fp48("|".join([r.url, r.lang, r.status, str(r.n_paragraphs),
+                           str(r.n_good), r.text or ""]))
+            for r in extracted.itertuples()
+        )
+        print(f"# {sf}: n_docs={n_docs}")
+        print(f"TEXT_FP[{n_docs}] = ({len(extracted)}, {t_fp})")
+
+        s_fp = sum(
+            fp48("|".join([r.url, str(r.idx), r.class_cf, r.class_final,
+                           str(r.word_count), str(int(r.heading)), r.text]))
+            for r in spans.itertuples()
+        )
+        s_ld = sum(q9(r.link_density) for r in spans.itertuples())
+        s_sd = sum(q9(r.stopword_density) for r in spans.itertuples())
+        print(f"SPANS_FP[{n_docs}] = ({len(spans)}, {s_fp}, {s_ld}, {s_sd})")
+
+        c_fp = sum(
+            fp48("|".join([r.url, r.extractor, r.dataset, str(r.matched),
+                           str(r.matched_bow), str(r.retrieved),
+                           str(r.relevant), r.status]))
+            for r in scores.itertuples()
+        )
+        sums = [
+            sum(q9(getattr(r, c)) for r in scores.itertuples())
+            for c in ["precision", "recall", "f1",
+                      "precision_bow", "recall_bow", "f1_bow"]
+        ]
+        print(f"SCORES_FP[{n_docs}] = ({len(scores)}, {c_fp}, {sums})")
+
+        sc = (
+            scores.groupby(["extractor", "dataset", "status"])
+            .size()
+            .reset_index(name="n_docs")
+            .sort_values(["extractor", "dataset", "status"])
+        )
+        rows = [
+            (r.extractor, r.dataset, r.status, int(r.n_docs))
+            for r in sc.itertuples()
+        ]
+        print(f"STATUS_COUNTS[{n_docs}] = {rows}")
+
+        # worst-k ok-docs per (extractor, dataset), ordered (f1 asc, url)
+        ok = scores[scores["status"] == "ok"].sort_values(
+            ["extractor", "dataset", "f1", "url"], kind="mergesort"
+        )
+        worst = ok.groupby(["extractor", "dataset"]).head(10).copy()
+        worst["worst_rank"] = worst.groupby(["extractor", "dataset"]).cumcount() + 1
+        wrows = [
+            (r.extractor, r.dataset, int(r.worst_rank), r.url,
+             repr(float(r.f1)), repr(float(r.precision)), repr(float(r.recall)))
+            for r in worst.itertuples()
+        ]
+        print("WORST_DOCS = [")
+        for w in wrows:
+            print(f"  {w},")
+        print("]")
+        print()
+
+
+if __name__ == "__main__":
+    main()

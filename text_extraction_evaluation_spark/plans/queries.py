@@ -24,7 +24,7 @@ from __future__ import annotations
 import operator
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1303,6 +1303,402 @@ FROM f
 """
 
 
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID over documents (Arrow kernel, broadcast-frozen
+    profiles). SQL-checkable because the trigram profiles are frozen
+    constants: the DuckDB twin replays the same contains-count argmax."""
+    from ..operators.textstats import lang_id
+
+    return lang_id(_docs_par(spark, sf_dir))
+
+
+def _lang_id_sql() -> str:
+    """DuckDB twin of detect_lang: per-language profile-hit counts over
+    the lowercased 2000-char prefix, argmax with ties to the earlier
+    language code (strict-improvement scan order = sorted lang codes)."""
+    from ..operators.textstats import _PROFILES
+
+    hit_exprs = []
+    for lang in sorted(_PROFILES):
+        grams = _PROFILES[lang]
+        terms = " + ".join(
+            "CASE WHEN contains(sample, '{}') THEN 1 ELSE 0 END".format(
+                g.replace("'", "''")
+            )
+            for g in grams
+        )
+        hit_exprs.append(f"({terms}) AS h_{lang}, {len(grams)} AS n_{lang}")
+    langs = sorted(_PROFILES)
+    best = "greatest({})".format(
+        ", ".join(f"h_{code} / CAST(n_{code} AS DOUBLE)" for code in langs)
+    )
+    detect_chain = " ".join(
+        f"WHEN h_{code} / CAST(n_{code} AS DOUBLE) = best THEN '{code}'"
+        for code in langs
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, lower(substr(coalesce(text, ''), 1, 2000)) AS sample
+  FROM documents
+), h AS (
+  SELECT doc_id, lang, {', '.join(hit_exprs)} FROM s
+), b AS (
+  SELECT *, {best} AS best FROM h
+)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und' {detect_chain} ELSE 'und' END AS detected_lang,
+       CASE WHEN best = 0 THEN 0.0 ELSE best END AS lang_score
+FROM b
+"""
+
+
+def pdf_pages_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout parse over the deterministic fake container: one row
+    per page, blocks sorted into reading order (y, x). The DuckDB twin
+    regenerates the same container content from the sha256 seeds."""
+    from ..operators.multimodal import pdf_extract_pages, synth_pdf_df
+
+    return pdf_extract_pages(synth_pdf_df(spark, n=128))
+
+
+_PDF_PAGES_SQL = """
+WITH pages AS (
+  SELECT doc_id, p FROM range(128) t(doc_id), range(4) r(p)
+  WHERE p < 1 + doc_id % 4
+), blocks AS (
+  SELECT doc_id, p, b, sha256(doc_id || '-' || p || '-' || b) AS h
+  FROM pages, range(5) rb(b) WHERE b < 2 + (doc_id + p) % 3
+), pos AS (
+  SELECT doc_id, p,
+         ('0x' || substr(h, 1, 2))::INT % 100 AS y,
+         ('0x' || substr(h, 3, 2))::INT % 50 AS x,
+         'block ' || doc_id || '.' || p || '.' || b || ' word'
+           || (('0x' || substr(h, 5, 2))::INT % 7) AS text
+  FROM blocks
+)
+SELECT doc_id, CAST(p AS INT) AS page,
+       string_agg(text, chr(10) ORDER BY y, x, text) AS text,
+       CAST(COUNT(*) AS INT) AS n_blocks, 'ok' AS status
+FROM pos GROUP BY doc_id, p
+"""
+
+
+def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RP-LSH ANN with multiprobe, driver-checkable shape (cos rounded
+    like ann_cosine_topk). The DuckDB twin replays bucket assignment
+    from the frozen splitmix hyperplanes as literal arrays — only the
+    SIGN of each plane dot-product matters, so cross-engine float-sum
+    ordering cannot flip buckets except exactly at the hyperplane."""
+    from ..operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    r = ann_lsh_topk(emb, list(range(10)), k=5)
+    return r.select(
+        "query_id", "neighbor_id", "nn_rank", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+def _ann_lsh_sql(n_planes: int = 8, multiprobe: int = 2, dim: int = 64, k: int = 5) -> str:
+    from itertools import combinations
+
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{}]) >= 0 THEN {} ELSE 0 END)".format(
+            ", ".join(repr(float(x)) for x in planes[i]), 1 << i
+        )
+        for i in range(n_planes)
+    )
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for d in range(1, multiprobe + 1)
+        for bits in combinations(range(n_planes), d)
+    ]
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         {bucket} AS bucket
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+  FROM n WHERE vec_id < 10
+), qx AS (
+  SELECT query_id, qv, qn, xor(qbucket, m) AS bucket
+  FROM q, (SELECT unnest([{", ".join(map(str, masks))}]) AS m)
+), s AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         MAX(list_dot_product(qv, c.v) / (qn * c.nrm)) AS cos
+  FROM qx JOIN n c USING (bucket)
+  WHERE c.vec_id <> query_id
+  GROUP BY query_id, c.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+  FROM s
+)
+SELECT query_id, neighbor_id, nn_rank, ROUND(cos, 4) AS cos_sim
+FROM r WHERE nn_rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Golden-fingerprint gates for the non-SQL-expressible extraction family.
+#
+# jusText extraction / LCS scoring cannot be expressed in SQL, so their
+# driver gate is an order-independent content fingerprint: a 48-bit
+# md5-prefix sum over every row's key fields (+ floor(1e9*x) integer
+# sums for the per-span/per-doc doubles, which are bitwise-identical
+# between the oracle and the Spark kernel — tests/test_parity.py). The
+# oracle side is a frozen constant computed by the pinned pure-Python
+# oracle (scripts/freeze_fingerprints.py -> oracle/run_oracle.py),
+# never from Spark — so any Spark-side drift (Arrow round-trip, dedup
+# window, encoding sniff, partitioning) shows up as a driver hash
+# mismatch. Constants are keyed on the fixture scale via
+# (SELECT COUNT(*) FROM events): 1000 = sf0.001, 10000 = sf0.01 (both
+# document corpora have 500 docs, so doc count cannot key them).
+# ---------------------------------------------------------------------------
+
+
+def _fp48(col: Column) -> Column:
+    """48-bit md5-prefix fingerprint (sum-safe in bigint up to ~30k rows
+    per fixture; the Python twin is int(md5(s).hexdigest()[:12], 16))."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def _q9(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(1e9)).cast("bigint")
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extract import extract_pages, extracted_clean, latest_crawl
+    from ..sources.readers import pages_df
+
+    pages = pages_df(spark, sf_dir, n_partitions=16)
+    return extracted_clean(extract_pages(latest_crawl(pages)))
+
+
+def extract_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-parity of the full extraction pipeline as one driver row:
+    fingerprint over url|lang|status|n_paragraphs|n_good|text."""
+    ex = _extracted(spark, sf_dir)
+    key = F.concat_ws(
+        "|",
+        "url",
+        "lang",
+        "status",
+        F.col("n_paragraphs").cast("string"),
+        F.col("n_good").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(_fp48(key)).alias("fp_sum")
+    )
+
+
+_TEXT_FP_SQL = """
+SELECT n_rows, fp_sum FROM (VALUES
+  (1000,  CAST(500 AS BIGINT), CAST(70158527454893740 AS BIGINT)),
+  (10000, CAST(500 AS BIGINT), CAST(69798393735633324 AS BIGINT))
+) t(n_events, n_rows, fp_sum)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def extract_spans_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level parity as one driver row: fingerprint over
+    url|idx|class_cf|class_final|word_count|heading plus quantized
+    density sums."""
+    from ..operators.extract import extract_spans, latest_crawl
+    from ..sources.readers import pages_df
+
+    spans = extract_spans(latest_crawl(pages_df(spark, sf_dir, n_partitions=16)))
+    key = F.concat_ws(
+        "|",
+        "url",
+        F.col("idx").cast("string"),
+        "class_cf",
+        "class_final",
+        F.col("word_count").cast("string"),
+        F.col("heading").cast("int").cast("string"),
+        "text",
+    )
+    return spans.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_fp48(key)).alias("fp_sum"),
+        F.sum(_q9("link_density")).alias("ld_q9_sum"),
+        F.sum(_q9("stopword_density")).alias("sd_q9_sum"),
+    )
+
+
+_SPANS_FP_SQL = """
+SELECT n_rows, fp_sum, ld_q9_sum, sd_q9_sum FROM (VALUES
+  (1000,  CAST(3413 AS BIGINT), CAST(475679151384561777 AS BIGINT),
+          CAST(1520808857500 AS BIGINT), CAST(528771530360 AS BIGINT)),
+  (10000, CAST(3244 AS BIGINT), CAST(457125634549963469 AS BIGINT),
+          CAST(1520808857500 AS BIGINT), CAST(448049649062 AS BIGINT))
+) t(n_events, n_rows, fp_sum, ld_q9_sum, sd_q9_sum)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def doc_scores_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LCS/BoW scoring parity as one driver row:
+    fingerprint over the integer/string score fields plus quantized
+    sums of the six P/R/F1 doubles."""
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    scores = score_extracted(_extracted(spark, sf_dir), gold_df(spark, sf_dir))
+    key = F.concat_ws(
+        "|",
+        "url",
+        "extractor",
+        "dataset",
+        F.col("matched").cast("string"),
+        F.col("matched_bow").cast("string"),
+        F.col("retrieved").cast("string"),
+        F.col("relevant").cast("string"),
+        "status",
+    )
+    return scores.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_fp48(key)).alias("fp_sum"),
+        F.sum(_q9("precision")).alias("p_q9_sum"),
+        F.sum(_q9("recall")).alias("r_q9_sum"),
+        F.sum(_q9("f1")).alias("f1_q9_sum"),
+        F.sum(_q9("precision_bow")).alias("pb_q9_sum"),
+        F.sum(_q9("recall_bow")).alias("rb_q9_sum"),
+        F.sum(_q9("f1_bow")).alias("fb_q9_sum"),
+    )
+
+
+_SCORES_FP_SQL = """
+SELECT n_rows, fp_sum, p_q9_sum, r_q9_sum, f1_q9_sum, pb_q9_sum, rb_q9_sum, fb_q9_sum
+FROM (VALUES
+  (1000,  CAST(500 AS BIGINT), CAST(69310761688465331 AS BIGINT),
+          CAST(272266938002 AS BIGINT), CAST(266559509428 AS BIGINT),
+          CAST(267134691490 AS BIGINT), CAST(272437275957 AS BIGINT),
+          CAST(266772245923 AS BIGINT), CAST(267323222762 AS BIGINT)),
+  (10000, CAST(500 AS BIGINT), CAST(70349754476732240 AS BIGINT),
+          CAST(264560467807 AS BIGINT), CAST(262334017192 AS BIGINT),
+          CAST(261836346105 AS BIGINT), CAST(264796460241 AS BIGINT),
+          CAST(262640683137 AS BIGINT), CAST(262102801803 AS BIGINT))
+) t(n_events, n_rows, fp_sum, p_q9_sum, r_q9_sum, f1_q9_sum, pb_q9_sum, rb_q9_sum, fb_q9_sum)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def status_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 fail/empty report over the scored corpus; oracle side is the
+    frozen per-fixture status census from the pure-Python oracle."""
+    from ..operators.report import status_counts
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    scores = score_extracted(_extracted(spark, sf_dir), gold_df(spark, sf_dir))
+    return status_counts(scores)
+
+
+_STATUS_COUNTS_SQL = """
+SELECT extractor, dataset, status, n_docs FROM (VALUES
+  (1000,  'justext_spark', 'cleaneval',  'empty', CAST(112 AS BIGINT)),
+  (1000,  'justext_spark', 'cleaneval',  'ok',    CAST(138 AS BIGINT)),
+  (1000,  'justext_spark', 'googlenews', 'empty', CAST(107 AS BIGINT)),
+  (1000,  'justext_spark', 'googlenews', 'ok',    CAST(143 AS BIGINT)),
+  (10000, 'justext_spark', 'cleaneval',  'empty', CAST(111 AS BIGINT)),
+  (10000, 'justext_spark', 'cleaneval',  'ok',    CAST(139 AS BIGINT)),
+  (10000, 'justext_spark', 'googlenews', 'empty', CAST(115 AS BIGINT)),
+  (10000, 'justext_spark', 'googlenews', 'ok',    CAST(135 AS BIGINT))
+) t(n_events, extractor, dataset, status, n_docs)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def worst_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 diagnostic: 10 worst-scored ok-documents per (extractor,
+    dataset). Oracle side is frozen VALUES from the pure-Python oracle
+    (scripts/freeze_fingerprints.py); the P/R/F1 doubles are bitwise-
+    deterministic (test_parity), so repr() literals round-trip exactly."""
+    from ..operators.report import worst_documents
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    scores = score_extracted(_extracted(spark, sf_dir), gold_df(spark, sf_dir))
+    return worst_documents(scores, k=10)
+
+
+# (n_events_key -> rows) frozen by scripts/freeze_fingerprints.py
+_WORST_DOCS_CONST: dict[int, list[tuple]] = {
+    1000: [
+        ("cleaneval", 1, "http://host19.example/204", "0.6029411764705882", "1.0", "0.43157894736842106"),
+        ("cleaneval", 2, "http://host5.example/486", "0.6131386861313868", "1.0", "0.4421052631578947"),
+        ("cleaneval", 3, "http://host9.example/342", "0.6176470588235294", "1.0", "0.44680851063829785"),
+        ("cleaneval", 4, "http://host7.example/488", "0.6573426573426574", "0.6351351351351351", "0.6811594202898551"),
+        ("cleaneval", 5, "http://host22.example/22", "0.6615384615384615", "1.0", "0.4942528735632184"),
+        ("cleaneval", 6, "http://host36.example/406", "0.6711409395973155", "1.0", "0.5050505050505051"),
+        ("cleaneval", 7, "http://host6.example/6", "0.6969696969696969", "1.0", "0.5348837209302325"),
+        ("cleaneval", 8, "http://host5.example/264", "0.7338129496402876", "0.6538461538461539", "0.8360655737704918"),
+        ("cleaneval", 9, "http://host36.example/443", "0.7339449541284404", "1.0", "0.5797101449275363"),
+        ("cleaneval", 10, "http://host32.example/328", "0.7476635514018691", "0.5970149253731343", "1.0"),
+        ("googlenews", 1, "http://host25.example/358", "0.6046511627906976", "1.0", "0.43333333333333335"),
+        ("googlenews", 2, "http://host29.example/214", "0.6259541984732825", "1.0", "0.45555555555555555"),
+        ("googlenews", 3, "http://host17.example/54", "0.6363636363636364", "1.0", "0.4666666666666667"),
+        ("googlenews", 4, "http://host4.example/374", "0.6382978723404256", "1.0", "0.46875"),
+        ("googlenews", 5, "http://host1.example/38", "0.6434782608695652", "1.0", "0.47435897435897434"),
+        ("googlenews", 6, "http://host23.example/134", "0.6446280991735537", "1.0", "0.47560975609756095"),
+        ("googlenews", 7, "http://host20.example/390", "0.6666666666666666", "1.0", "0.5"),
+        ("googlenews", 8, "http://host30.example/474", "0.7114093959731543", "1.0", "0.5520833333333334"),
+        ("googlenews", 9, "http://host12.example/456", "0.7407407407407406", "0.5970149253731343", "0.975609756097561"),
+        ("googlenews", 10, "http://host16.example/312", "0.7428571428571429", "0.5909090909090909", "1.0"),
+    ],
+    10000: [
+        ("cleaneval", 1, "http://host22.example/22", "0.6271186440677966", "1.0", "0.4567901234567901"),
+        ("cleaneval", 2, "http://host36.example/406", "0.639344262295082", "1.0", "0.46987951807228917"),
+        ("cleaneval", 3, "http://host28.example/102", "0.6417910447761194", "1.0", "0.4725274725274725"),
+        ("cleaneval", 4, "http://skew.example/200", "0.7096774193548387", "0.6197183098591549", "0.8301886792452831"),
+        ("cleaneval", 5, "http://host14.example/88", "0.721311475409836", "0.6197183098591549", "0.8627450980392157"),
+        ("cleaneval", 6, "http://host7.example/488", "0.7272727272727273", "0.5714285714285714", "1.0"),
+        ("cleaneval", 7, "http://skew.example/120", "0.7326732673267327", "0.578125", "1.0"),
+        ("cleaneval", 8, "http://host20.example/168", "0.7476635514018691", "0.5970149253731343", "1.0"),
+        ("cleaneval", 9, "http://skew.example/440", "0.7567567567567568", "0.6086956521739131", "1.0"),
+        ("cleaneval", 10, "http://host30.example/104", "0.7652173913043477", "0.6197183098591549", "1.0"),
+        ("googlenews", 1, "http://host33.example/70", "0.6176470588235294", "1.0", "0.44680851063829785"),
+        ("googlenews", 2, "http://host0.example/296", "0.7083333333333333", "0.6538461538461539", "0.7727272727272727"),
+        ("googlenews", 3, "http://host28.example/472", "0.7378640776699029", "0.5846153846153846", "1.0"),
+        ("googlenews", 4, "http://host4.example/152", "0.7428571428571429", "0.5909090909090909", "1.0"),
+        ("googlenews", 5, "http://host35.example/72", "0.7567567567567568", "0.6086956521739131", "1.0"),
+        ("googlenews", 6, "http://host10.example/232", "0.759124087591241", "0.6582278481012658", "0.896551724137931"),
+        ("googlenews", 7, "http://host9.example/379", "0.7692307692307693", "1.0", "0.625"),
+        ("googlenews", 8, "http://host25.example/136", "0.8235294117647058", "0.7", "1.0"),
+        ("googlenews", 9, "http://host3.example/373", "0.8235294117647058", "1.0", "0.7"),
+        ("googlenews", 10, "http://host16.example/312", "0.8322981366459626", "0.7127659574468085", "1.0"),
+    ],
+}
+
+
+def _worst_docs_sql() -> str:
+    rows = ",\n  ".join(
+        f"({n_ev}, 'justext_spark', '{ds}', CAST({rk} AS INTEGER), '{url}', "
+        # string->double (strtod) is correctly rounded; a bare decimal
+        # literal goes through DECIMAL and can lose the last ulp
+        f"CAST('{f1}' AS DOUBLE), CAST('{p}' AS DOUBLE), CAST('{r}' AS DOUBLE))"
+        for n_ev, rs in _WORST_DOCS_CONST.items()
+        for (ds, rk, url, f1, p, r) in rs
+    )
+    return f"""
+SELECT extractor, dataset, worst_rank, url, f1, precision, recall FROM (VALUES
+  {rows}
+) t(n_events, extractor, dataset, worst_rank, url, f1, precision, recall)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1340,4 +1736,12 @@ SQL_CHECKED = {
     "q_cube_order_stats": (q_cube_order_stats, _CUBE_SQL),
     "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
     "media_features": (media_features, _MEDIA_FEATURES_SQL),
+    "lang_id": (lang_id_query, _lang_id_sql()),
+    "pdf_pages": (pdf_pages_query, _PDF_PAGES_SQL),
+    "extract_text_fingerprint": (extract_text_fingerprint, _TEXT_FP_SQL),
+    "extract_spans_fingerprint": (extract_spans_fingerprint, _SPANS_FP_SQL),
+    "doc_scores_fingerprint": (doc_scores_fingerprint, _SCORES_FP_SQL),
+    "status_counts": (status_counts_query, _STATUS_COUNTS_SQL),
+    "worst_documents": (worst_documents_query, _worst_docs_sql()),
+    "ann_lsh_topk": (ann_lsh_topk_query, _ann_lsh_sql()),
 }
