@@ -82,6 +82,70 @@ def test_exact_dedup_on_duplicated_input(spark, docs):
     assert groups.count() == docs.count()
 
 
+def test_banded_simhash_pairs_equal_brute(spark):
+    """The registered banded (equi-join) SimHash pair plan is EXACT for
+    Hamming <= 6 by the 7-band pigeonhole — equal rows to the all-pairs
+    twin."""
+    from text_extraction_evaluation_spark.plans.queries import (
+        dedup_simhash_pairs,
+        dedup_simhash_pairs_brute,
+    )
+
+    banded = {tuple(r) for r in dedup_simhash_pairs(spark, SF0001).collect()}
+    brute = {tuple(r) for r in dedup_simhash_pairs_brute(spark, SF0001).collect()}
+    assert banded == brute
+    assert len(banded) > 0
+
+
+def test_inverted_index_jaccard_equals_brute(spark):
+    from text_extraction_evaluation_spark.plans.queries import (
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_brute,
+    )
+
+    inv = {tuple(r) for r in dedup_ngram_jaccard(spark, SF0001).collect()}
+    brute = {tuple(r) for r in dedup_ngram_jaccard_brute(spark, SF0001).collect()}
+    assert inv == brute
+    assert len(inv) > 0
+
+
+def test_degenerate_bucket_is_star_reduced(spark):
+    """A pathological LSH bucket (one boilerplate text crawled n times)
+    must emit O(n) star pairs, not O(n^2) — and stay one CC component."""
+    from text_extraction_evaluation_spark.operators.dedup import (
+        candidate_pairs,
+        connected_components,
+        minhash_band_rows,
+    )
+
+    n = 120
+    rows = [(i, "the same boilerplate text repeated for every crawl of this page") for i in range(n)]
+    rows += [(1000, "a completely different document about gardening tools and soil"),
+             (1001, "a completely different document about gardening tools and dirt")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = minhash_band_rows(docs)
+
+    capped = candidate_pairs(bands, max_bucket_size=20).collect()
+    capped_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in capped}
+    # star reduction: every degenerate-bucket member pairs with the hub
+    # (min id 0) exactly once after distinct -> n-1 pairs, not n*(n-1)/2
+    star = {p for p in capped_pairs if p[0] == 0}
+    assert len(star) == n - 1
+    assert all(p[0] == 0 or p[0] >= 1000 for p in capped_pairs)
+    # the small gardening bucket still gets ordinary all-pairs treatment
+    assert (1000, 1001) in capped_pairs
+    # grouping is preserved: one component covering all n boilerplate docs
+    comp = connected_components(
+        spark.createDataFrame(list(capped_pairs), "doc_id_a long, doc_id_b long")
+    ).collect()
+    boiler = {r["doc_id"] for r in comp if r["component"] == 0}
+    assert boiler == set(range(n))
+
+    # uncapped (default threshold far above the fixture) = full quadratic set
+    full = candidate_pairs(bands).collect()
+    assert len({(r["doc_id_a"], r["doc_id_b"]) for r in full}) == n * (n - 1) // 2 + 1
+
+
 def test_connected_components_vs_union_find(spark):
     from text_extraction_evaluation_spark.operators.dedup import connected_components
 

@@ -110,10 +110,11 @@ def test_asof_join_is_zero_join_single_shuffle(spark):
 
     plan = plan_of(q_events_asof_join(spark, SF0001))
     assert "Join" not in plan
-    # two exchanges total: the tiny clicks pre-aggregation on
+    # at most two exchanges: the tiny clicks pre-aggregation on
     # (user_id, ts) and the one window shuffle on user_id — never a
-    # shuffle per side plus a join
-    assert plan.count("Exchange hashpartitioning") == 2
+    # shuffle per side plus a join (upper bound, not exact: AQE /
+    # planner versions may legally merge or reuse an exchange)
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_ivf_no_cartesian_and_cell_equijoin(spark):
@@ -126,6 +127,9 @@ def test_ivf_no_cartesian_and_cell_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "cell" in plan
     assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    # assignment is map-side argmin over the broadcast centroid array —
+    # the corpus must never shuffle on vec_id to pick its cell
+    assert "Exchange hashpartitioning(vec_id" not in plan
 
 
 def test_embedding_cosine_bucket_equijoin(spark):
@@ -134,6 +138,24 @@ def test_embedding_cosine_bucket_equijoin(spark):
     plan = plan_of(dedup_embedding_cosine(spark, SF0001))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pair_queries_are_equijoins(spark):
+    """The registered near-dup pair plans must be equi-joins (banded
+    SimHash, inverted-index Jaccard) — never the O(n^2) nested-loop
+    shapes their brute test-twins use."""
+    from text_extraction_evaluation_spark.plans.queries import (
+        dedup_ngram_jaccard,
+        dedup_simhash_pairs,
+    )
+
+    for q in (dedup_simhash_pairs, dedup_ngram_jaccard):
+        plan = plan_of(q(spark, SF0001))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert any(
+            j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        ), q.__name__
 
 
 def test_salting_spreads_hot_url(spark):

@@ -90,13 +90,36 @@ def minhash_band_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     return pruned.mapInPandas(kernel, BAND_SCHEMA)
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
+def candidate_pairs(bands: DataFrame, max_bucket_size: int = 1000) -> DataFrame:
     """LSH band rows -> distinct candidate (doc_id_a < doc_id_b) pairs.
-    Bucket-local pair generation: shuffles only (doc_id, band_key)."""
+    Bucket-local pair generation: shuffles only (doc_id, band_key).
+
+    Skew guard: a bucket larger than ``max_bucket_size`` (a degenerate
+    band — boilerplate shared by millions of crawls) would emit O(n^2)
+    pairs and overflow a single executor's collect_list. Oversized
+    buckets are star-reduced instead: every member pairs with the
+    bucket's min doc_id only — O(n) pairs, computed without ever
+    materializing the member array, and connected-components grouping
+    still links the whole bucket through the hub. (The documented
+    approximation: pairwise verification can miss an a-b link whose hub
+    fails verification — acceptable for degenerate buckets, which are
+    near-identical by construction.) Bucket size/min come from one
+    window over (band, band_key); the small-bucket groupBy reuses that
+    exchange, so the guard adds no extra shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "band_key")
+    sized = (
+        bands.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("n") > 1)
+    )
+
     buckets = (
-        bands.groupBy("band", "band_key")
+        sized.filter(F.col("n") <= max_bucket_size)
+        .groupBy("band", "band_key")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
     )
     pairs = F.filter(
         F.flatten(
@@ -109,11 +132,15 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
         ),
         lambda s: s["a"] < s["b"],
     )
-    return (
+    all_small = (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
-        .distinct()
     )
+    star_big = (
+        sized.filter((F.col("n") > max_bucket_size) & (F.col("doc_id") != F.col("min_id")))
+        .select(F.col("min_id").alias("doc_id_a"), F.col("doc_id").alias("doc_id_b"))
+    )
+    return all_small.unionByName(star_big).distinct()
 
 
 def verified_near_dup_pairs(

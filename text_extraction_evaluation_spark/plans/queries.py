@@ -522,9 +522,48 @@ FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-word-shingle Jaccard >= 0.8 (brute-force
-    within-corpus; the LSH variant below is the 100 TB path — this one
-    is the exactness baseline it is validated against)."""
+    """EXACT 3-word-shingle Jaccard >= 0.8 pairs via an inverted index:
+    explode (doc_id, shingle), EQUI-join on the shingle, count shared
+    shingles per pair (intersection), then join back the set sizes for
+    the union term. Any pair with Jaccard > 0 shares a shingle, so this
+    is exact — and it shuffles on shingle keys instead of the O(n^2)
+    nested-loop self-join (dedup_ngram_jaccard_brute, the test twin).
+    Residual scale hazard: a shingle present in k docs contributes
+    O(k^2) join rows — boilerplate shingles are the skew; at 100 TB
+    route through dedup_minhash_verified (candidates-only) or apply a
+    prefix filter. The fixture corpus has no hot shingles."""
+    docs = _docs_par(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", word_shingles(tokens_col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        co.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+def dedup_ngram_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exactness twin (array_intersect over a nested-loop
+    self-join) — NOT registered; tests assert equality with the
+    inverted-index plan."""
     docs = _docs_par(spark, sf_dir)
     sh = docs.select(
         "doc_id", word_shingles(tokens_col("text")).alias("sh")
@@ -809,9 +848,55 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """
 
 
+# 48 bits split into 7 bands (6x7 + 1x6): a pair within Hamming
+# distance 6 differs in at most 6 bands, so by pigeonhole it collides
+# in at least one band — banding is exact for the <=6 threshold.
+_SIMHASH_BANDS: list[tuple[int, int]] = [
+    (0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 6),
+]
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with SimHash hamming distance <= 6. (At 100 TB,
-    pre-bucket by simhash bit-bands instead of the full self-join.)"""
+    """Near-dup pairs with SimHash hamming distance <= 6, banded: each
+    doc explodes to 7 (band, value) keys; candidates come from an
+    EQUI-join on the band key (shuffle moves only doc_id+simhash+band,
+    never O(n^2) pairs), then exact bit_count verifies Hamming <= 6.
+    Exact — not approximate — by the pigeonhole split above, so the
+    brute all-pairs twin (kept for tests) returns identical rows."""
+    sim = dedup_simhash(spark, sf_dir)
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", off).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+        )
+        for i, (off, width) in enumerate(_SIMHASH_BANDS)
+    ])
+    bands = sim.select("doc_id", "simhash", F.explode(band_arr).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )
+
+
+def dedup_simhash_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exactness twin of dedup_simhash_pairs — O(n^2)
+    nested-loop self-join, NOT registered; tests assert it equals the
+    banded plan on the fixture."""
     sim = dedup_simhash(spark, sf_dir)
     a = sim.alias("a")
     b = sim.alias("b")
@@ -939,27 +1024,44 @@ FROM n GROUP BY label
 """
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Sign-LSH bucket sizing rule, in code (not prose): pick enough bits
+# that EXPECTED bucket occupancy n / 2^bits stays <= the target, so
+# within-bucket pair work is O(n * target), not O((n/2^bits)^2 * 2^bits)
+# growing with the corpus. The fixture corpora hold 500 vectors ->
+# sign_lsh_bits(500) == 6; a 10^9-vector corpus would get 27 bits.
+EMB_LSH_TARGET_OCCUPANCY = 8
+
+
+def sign_lsh_bits(n_vectors: int, target: int = EMB_LSH_TARGET_OCCUPANCY) -> int:
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_vectors / target))))
+
+
+_EMB_COSINE_BITS = sign_lsh_bits(500)
+assert _EMB_COSINE_BITS == 6  # frozen for the 500-vector fixtures
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, bits: int, threshold: float = 0.3
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with sign-LSH blocking.
 
-    Scale path: bucket every vector by the sign pattern of its first 6
-    dimensions (axis-aligned random-projection LSH — deterministic so
-    the DuckDB oracle can reproduce it), self-join ONLY within buckets
-    (shuffle on the bucket key — never the O(n^2) cross join), then
-    verify exact cosine >= threshold on the surviving candidates. At
-    100 TB the bucket key bits scale up with corpus size to keep bucket
-    occupancy bounded; all arithmetic is JVM-side (zip_with/aggregate),
-    no Python UDF.
+    Scale path: bucket every vector by the sign pattern of its first
+    ``bits`` dimensions (axis-aligned random-projection LSH —
+    deterministic so the DuckDB oracle can reproduce it), self-join
+    ONLY within buckets (shuffle on the bucket key — never the O(n^2)
+    cross join), then verify exact cosine >= threshold on the surviving
+    candidates. ``bits`` comes from sign_lsh_bits(corpus size); all
+    arithmetic is JVM-side (zip_with/aggregate), no Python UDF.
     """
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     nrm = F.sqrt(
         F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
     bucket = sum(
-        F.when(F.element_at("v", i + 1) > 0, F.lit(2 ** (5 - i))).otherwise(F.lit(0))
-        for i in range(6)
+        F.when(F.element_at("v", i + 1) > 0, F.lit(2 ** (bits - 1 - i))).otherwise(F.lit(0))
+        for i in range(bits)
     )
     base = emb.withColumn("nrm", nrm).withColumn("bucket", bucket.cast("int"))
     a = base.select(
@@ -980,7 +1082,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cos", dot / (F.col("n_a") * F.col("n_b")))
-        .filter(F.col("cos") >= 0.3)
+        .filter(F.col("cos") >= threshold)
         .select(
             "vec_a",
             "vec_b",
@@ -990,23 +1092,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_COSINE_SQL = """
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered sign-LSH near-dup query at the fixture's bit count
+    (sign_lsh_bits(500) = 6); the DuckDB twin is generated from the
+    same constant by _emb_cosine_sql."""
+    return embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), bits=_EMB_COSINE_BITS
+    )
+
+
+def _emb_cosine_sql(bits: int = _EMB_COSINE_BITS, threshold: float = 0.3) -> str:
+    cases = "\n        + ".join(
+        f"CASE WHEN v[{i + 1}] > 0 THEN {1 << (bits - 1 - i)} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), n AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-         (CASE WHEN v[1] > 0 THEN 32 ELSE 0 END
-        + CASE WHEN v[2] > 0 THEN 16 ELSE 0 END
-        + CASE WHEN v[3] > 0 THEN 8 ELSE 0 END
-        + CASE WHEN v[4] > 0 THEN 4 ELSE 0 END
-        + CASE WHEN v[5] > 0 THEN 2 ELSE 0 END
-        + CASE WHEN v[6] > 0 THEN 1 ELSE 0 END)::INT AS bucket
+         ({cases})::INT AS bucket
   FROM e
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
 FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
 """
 
 
@@ -1091,23 +1202,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
     base = emb.withColumn("nrm", sq)
-    cent = base.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    # One-row broadcast of ALL centroids as an array: assignment is then
+    # a map-side argmin per vector (array_sort over per-centroid cosine
+    # structs) — no corpus x n_centroids row explosion and NO shuffle
+    # for the assignment stage (the window formulation shuffled the
+    # corpus 8x on vec_id). (-ccos asc, cid asc) sort order replicates
+    # the oracle's ROW_NUMBER ... ORDER BY ccos DESC, cid.
+    cent_arr = (
+        base.filter(F.col("vec_id") < n_centroids)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
     )
-    ccos = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    ) / (F.col("nrm") * F.col("cn"))
-    wassign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
-    ranked = (
-        base.join(F.broadcast(cent))
-        .withColumn("ccos", ccos)
-        .withColumn("crank", F.row_number().over(wassign))
+    scored_cells = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (
+                -(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / (F.col("nrm") * c["cn"])
+                )
+            ).alias("neg_ccos"),
+            c["cid"].alias("cid"),
+        ),
     )
-    cells = ranked.filter(F.col("crank") == 1).select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
-    probes = (
-        ranked.filter((F.col("vec_id") < n_queries) & (F.col("crank") <= nprobe))
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-                F.col("nrm").alias("qn"), F.col("cid").alias("cell"))
+    assigned = base.join(F.broadcast(cent_arr)).withColumn(
+        "pc", F.slice(F.array_sort(scored_cells), 1, nprobe)
+    )
+    cells = assigned.select(
+        "vec_id", "v", "nrm", F.element_at("pc", 1)["cid"].alias("cell")
+    )
+    probes = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(F.transform("pc", lambda s: s["cid"])).alias("cell"),
     )
     qcos = F.aggregate(
         F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
@@ -1728,7 +1866,7 @@ SQL_CHECKED = {
     "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_sql(pairs=True)),
     "lang_distribution": (lang_distribution, _LANG_DIST_SQL),
     "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
-    "dedup_embedding_cosine": (dedup_embedding_cosine, _EMB_COSINE_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, _emb_cosine_sql()),
     "q_events_asof_join": (q_events_asof_join, _ASOF_SQL),
     "ann_ivf_topk": (ann_ivf_topk, _IVF_SQL),
     "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
