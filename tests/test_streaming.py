@@ -46,6 +46,102 @@ def test_stream_extraction_matches_batch(spark, tmp_path_factory):
     assert n_after == len(want)
 
 
+def test_gap_interval_parsing():
+    import pytest
+
+    from text_extraction_evaluation_spark.streaming.stream import _parse_interval_ms
+
+    assert _parse_interval_ms("30 minutes") == 1_800_000
+    assert _parse_interval_ms("1 hour") == 3_600_000
+    assert _parse_interval_ms("15 minutes") == 900_000
+    assert _parse_interval_ms("45 seconds") == 45_000
+    assert _parse_interval_ms(90) == 90_000
+    with pytest.raises(ValueError):
+        _parse_interval_ms("a fortnight")
+    with pytest.raises(ValueError):
+        _parse_interval_ms("30m")
+
+
+def test_sessionize_stream_equals_batch_twin(spark, tmp_path_factory):
+    """On time-ordered input the streaming sessionizer must produce the
+    SAME sessions as the batch twin q_event_sessions: same per-user
+    multiset of (n_events, duration_sec)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from text_extraction_evaluation_spark.plans.queries import q_event_sessions
+    from text_extraction_evaluation_spark.streaming.stream import (
+        sessionize_events_stream,
+    )
+
+    base = tmp_path_factory.mktemp("sess_twin")
+    events_dir = str(base / "events")
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    ev = (
+        spark.read.parquet(f"{SF0001}/events.parquet")
+        .select("user_id", "ts")
+        .filter("user_id < 12")
+    )
+    # single ordered file -> one micro-batch: all in-batch gap splits
+    # must reproduce the batch sessionization exactly
+    ev.orderBy("ts").coalesce(1).write.parquet(events_dir)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(events_dir)
+    )
+    q = (
+        sessionize_events_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir).toPandas()
+
+    def esec(t):
+        return int(pd.Timestamp(t).value // 1_000_000_000)
+
+    got: dict[int, list] = {}
+    for uid, grp in out.groupby("user_id"):
+        closed = grp[grp.closed]
+        # availableNow ends with a no-data batch whose advanced
+        # watermark TIMES OUT the final open session (emitting it as a
+        # closed row) — a live row counts only when no closed row
+        # covers its span
+        last_close = closed.t_last.max() if len(closed) else pd.Timestamp.min
+        live = grp[(~grp.closed) & (grp.t_first > last_close)]
+        spans = [
+            (int(n), esec(b) - esec(a))
+            for n, a, b in zip(closed.session_events, closed.t_first, closed.t_last)
+        ]
+        if len(live):
+            final = live.sort_values("session_events").iloc[-1]
+            spans.append(
+                (int(final.session_events), esec(final.t_last) - esec(final.t_first))
+            )
+        got[uid] = sorted(spans)
+
+    batch = (
+        q_event_sessions(spark, SF0001)
+        .filter(F.col("user_id") < 12)
+        .toPandas()
+    )
+    want = {
+        int(uid): sorted(
+            (int(r.n_events), int(r.duration_sec)) for r in grp.itertuples()
+        )
+        for uid, grp in batch.groupby("user_id")
+    }
+    assert got == want
+
+
 def test_sessionize_events_stream_stateful(spark, tmp_path_factory):
     """applyInPandasWithState gap sessionization over a chronologically
     arriving file stream: every event is accounted for in exactly one

@@ -489,15 +489,22 @@ FROM documents
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the content fingerprint over the
     corpus plus a deterministically re-crawled subset (doc_id % 10 == 0
-    re-keyed at +1e6 — the fixture corpus itself has only NEAR-dups,
-    which minhash/jaccard below find; re-crawls model byte-identical
-    refetches). Emits duplicate groups with the canonical keeper id.
-    At 100 TB this is one map-side fingerprint + one hash aggregate —
-    the cheapest dedup tier, always run before the LSH tiers."""
+    re-keyed past max(doc_id) — the fixture corpus itself has only
+    NEAR-dups, which minhash/jaccard below find; re-crawls model
+    byte-identical refetches). The offset is derived as max(doc_id)+1
+    (broadcast single-row aggregate, no driver action) so planted ids
+    can NEVER collide with real doc_ids at any corpus size; the output
+    is offset-invariant because a planted id never wins min(doc_id).
+    Emits duplicate groups with the canonical keeper id. At 100 TB this
+    is one map-side fingerprint + one hash aggregate — the cheapest
+    dedup tier, always run before the LSH tiers."""
     docs = _docs_par(spark, sf_dir).select("doc_id", "text")
+    off = docs.agg((F.max("doc_id") + 1).alias("off"))
     recrawl = (
         docs.filter(F.col("doc_id") % 10 == 0)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .join(F.broadcast(off))
+        .withColumn("doc_id", F.col("doc_id") + F.col("off"))
+        .drop("off")
     )
     fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
     return (
@@ -513,7 +520,8 @@ _DEDUP_EXACT_SQL = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+  FROM documents WHERE doc_id % 10 = 0
 )
 SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
        COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id

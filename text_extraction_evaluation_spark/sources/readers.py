@@ -70,6 +70,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _REPLICA_STRIDE = 10_000_000  # divisible by 16 and 20: preserves the
 # template-variant and second-crawl selectors of the base doc_id
 
+_N_BASE_CACHE: dict[str, int] = {}  # sf_dir -> verified dense row count
+
 
 def _docs(
     spark: SparkSession, sf_dir: str, replicate: int, n_partitions: int | None
@@ -89,9 +91,18 @@ def _docs(
     # read->repartition->explode shape carried a ~1.5 s serial prefix
     # (single-split read + shuffle of the base table) that capped the
     # 32-core leg's scaling (Amdahl); range+broadcast removes it.
-    # doc_ids are dense 0..N-1 in every fixture (verified), so
-    # base_id = id % N reproduces the exact explode row set.
-    n_base = docs.count()
+    # base_id = id % N reproduces the exact explode row set ONLY for
+    # dense 0..N-1 doc_ids — asserted below (once per sf_dir, cached:
+    # a non-dense corpus would silently drop replicas otherwise).
+    if sf_dir not in _N_BASE_CACHE:
+        n, max_id = docs.agg(F.count(F.lit(1)), F.max("doc_id")).first()
+        if max_id != n - 1:
+            raise ValueError(
+                f"replication requires dense doc_ids 0..N-1; {sf_dir} has "
+                f"N={n} but max(doc_id)={max_id}"
+            )
+        _N_BASE_CACHE[sf_dir] = n
+    n_base = _N_BASE_CACHE[sf_dir]
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     rng = spark.range(0, n_base * replicate, 1, n_parts)
     pairs = rng.select(

@@ -71,62 +71,105 @@ SESSION_OUT_SCHEMA = (
 )
 
 
+def _parse_interval_ms(interval: str | int) -> int:
+    """'N seconds|minutes|hours' (or an int of seconds) -> milliseconds.
+    Raises ValueError for anything else — a silently-coerced gap would
+    sessionize wrongly with no error."""
+    import re
+
+    if isinstance(interval, int):
+        return interval * 1000
+    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour)s?\s*", interval)
+    if not m:
+        raise ValueError(
+            f"unsupported interval {interval!r}; use 'N seconds', "
+            "'N minutes', 'N hours', or an int of seconds"
+        )
+    n, unit = int(m.group(1)), m.group(2)
+    return n * {"second": 1, "minute": 60, "hour": 3600}[unit] * 1000
+
+
 def sessionize_events_stream(
     events_stream: DataFrame,
-    gap: str = "30 minutes",
+    gap: str | int = "30 minutes",
     watermark: str = "1 hour",
 ):
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (the build-brief surface for operators Spark's built-in windowed
-    aggregates can't express): per-user session tracking with a
-    session-gap timeout.
+    aggregates can't express): per-user GAP sessionization.
 
-    State per user_id: (event count, first ts, last ts). A micro-batch
-    folds its events into the state; the state times out ``gap`` after
-    the watermark passes the last event, at which point the CLOSED
-    session row is emitted (plus a live progress row each batch).
-    Batch twin for correctness intuition: ``q_event_sessions`` in
-    plans/queries.py (gap sessionization via lag + cumulative sum).
+    State per user_id = the open session (event count, first ts, last
+    ts). Each micro-batch folds its events in event-time order: an
+    event more than ``gap`` after the open session's last event CLOSES
+    that session (emitted with closed=true) and starts a new one — so
+    two bursts inside one batch split exactly like the batch twin
+    ``q_event_sessions`` (lag + cumulative sum) splits them. An event
+    at or before the open session's last timestamp (late but inside
+    the watermark) folds into the open session. The state's event-time
+    timeout is anchored at max(last event, watermark) + gap — session
+    closing tracks the EVENT-TIME gap, not arrival quiescence — and
+    emits the final closed row; a live progress row (closed=false) is
+    emitted each batch.
 
     Arrival-order contract (standard for watermarked stateful ops):
-    input must be (near-)time-ordered across micro-batches — rows
-    older than ``watermark`` behind the stream's max event time are
-    dropped by Spark before reaching the state function. Replaying an
-    unordered historical dump through this operator loses events; use
-    the batch twin for backfills, this operator for live tails.
+    rows older than ``watermark`` behind the stream's max event time
+    are dropped by Spark before reaching the state function. Replaying
+    an unordered historical dump through this operator loses events;
+    use the batch twin for backfills, this operator for live tails.
+    tests/test_streaming.py asserts the batch twin equivalence on
+    ordered input.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_ms = {"30 minutes": 30 * 60 * 1000, "1 hour": 60 * 60 * 1000}.get(
-        gap, 30 * 60 * 1000
-    )
+    gap_ms = _parse_interval_ms(gap)
 
     def fold(key, pdfs, state: GroupState):
         import pandas as pd
 
         (user_id,) = key
+        cols = ["user_id", "session_events", "t_first", "t_last", "closed"]
         if state.hasTimedOut:
             n, t_first, t_last = state.get
             state.remove()
-            yield pd.DataFrame(
-                [(user_id, n, t_first, t_last, True)],
-                columns=["user_id", "session_events", "t_first", "t_last", "closed"],
-            )
+            yield pd.DataFrame([(user_id, n, t_first, t_last, True)], columns=cols)
             return
         n, t_first, t_last = state.get if state.exists else (0, None, None)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            n += len(pdf)
-            lo, hi = pdf["ts"].min(), pdf["ts"].max()
-            t_first = lo if t_first is None else min(t_first, lo)
-            t_last = hi if t_last is None else max(t_last, hi)
-        state.update((n, t_first, t_last))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
-        yield pd.DataFrame(
-            [(user_id, n, t_first, t_last, False)],
-            columns=["user_id", "session_events", "t_first", "t_last", "closed"],
+        rows = []
+        ts_sorted = sorted(
+            t for pdf in pdfs if len(pdf) for t in pdf["ts"] if t is not None
         )
+        # gap compares FLOORED epoch seconds — the exact rule of the
+        # batch twin (floor(epoch(ts)) - floor(epoch(lag)) > gap)
+        gap_sec = gap_ms // 1000
+
+        def esec(t) -> int:
+            # state round-trips restore datetime.datetime, in-batch rows
+            # are pandas Timestamps — normalize before epoch math
+            return int(pd.Timestamp(t).value // 1_000_000_000)
+
+        for t in ts_sorted:
+            if t_last is None:
+                n, t_first, t_last = 1, t, t
+            elif esec(t) - esec(t_last) <= gap_sec:
+                # in-session (covers late rows with t <= t_last too)
+                n += 1
+                t_first = min(t_first, t)
+                t_last = max(t_last, t)
+            else:
+                rows.append((user_id, n, t_first, t_last, True))
+                n, t_first, t_last = 1, t, t
+        state.update((n, t_first, t_last))
+        # event-time gap anchor: the session closes gap after its LAST
+        # EVENT (never before the watermark — Spark requires timeout
+        # timestamps beyond the current watermark)
+        t_last_ms = (
+            int(pd.Timestamp(t_last).value // 1_000_000) if t_last is not None else 0
+        )
+        state.setTimeoutTimestamp(
+            max(t_last_ms, state.getCurrentWatermarkMs()) + gap_ms
+        )
+        rows.append((user_id, n, t_first, t_last, False))
+        yield pd.DataFrame(rows, columns=cols)
 
     return (
         events_stream.withWatermark("ts", watermark)
