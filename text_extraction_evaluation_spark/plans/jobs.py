@@ -73,14 +73,25 @@ def run_extraction_job(
     buckets_per_chunk: int = 4,
     fail_after_chunks: int | None = None,
     run_id: str | None = None,
+    max_concurrent_chunks: int = 1,
 ) -> LocalCatalog:
     """Extract ``pages`` chunk by chunk with atomic commits + lineage.
+
+    ``max_concurrent_chunks > 1`` runs that many chunk jobs in flight
+    at once (a driver-side thread pool submitting independent Spark
+    jobs — the scheduler interleaves their stages). At 100 TB one
+    chunk's tail stages rarely saturate the cluster; overlapping
+    chunks keeps executors busy through commit barriers. Manifest
+    commits stay atomic under concurrency (LocalCatalog serializes the
+    read-modify-write).
 
     ``fail_after_chunks=k`` raises ChunkFailure after k successful chunk
     commits (resume-test hook). Re-invoking with the same ``out_root``
     resumes: committed chunks are skipped, the committed url set is
     anti-joined inside recovering chunks.
     """
+    import threading
+
     cat = LocalCatalog(out_root)
     run_id = run_id or uuid.uuid4().hex[:12]
     bucketed = with_bucket(pages, n_buckets)
@@ -88,12 +99,10 @@ def run_extraction_job(
     done = cat.read(spark, "extracted")
     done_urls = done.select("url").distinct() if done is not None else None
 
-    committed = 0
-    for lo in range(0, n_buckets, buckets_per_chunk):
-        chunk_buckets = list(range(lo, min(lo + buckets_per_chunk, n_buckets)))
-        chunk_id = f"b{chunk_buckets[0]:04d}-{chunk_buckets[-1]:04d}"
-        if cat.is_committed("extracted", chunk_id):
-            continue
+    state = {"committed": 0}
+    lock = threading.Lock()
+
+    def do_chunk(chunk_buckets: list[int], chunk_id: str) -> None:
         chunk = bucketed.filter(F.col("url_bucket").isin(chunk_buckets))
         if done_urls is not None:
             chunk = chunk.join(done_urls, "url", "left_anti")  # J2 resume
@@ -109,9 +118,30 @@ def run_extraction_job(
             run_metrics_from_extracted(chunk_back, run_id, chunk_id),
             "run_metrics", chunk_id, meta={"run_id": run_id},
         )
-        committed += 1
-        if fail_after_chunks is not None and committed >= fail_after_chunks:
-            raise ChunkFailure(f"injected failure after {committed} chunks")
+        with lock:
+            state["committed"] += 1
+            if fail_after_chunks is not None and state["committed"] >= fail_after_chunks:
+                raise ChunkFailure(f"injected failure after {state['committed']} chunks")
+
+    pending: list[tuple[list[int], str]] = []
+    for lo in range(0, n_buckets, buckets_per_chunk):
+        chunk_buckets = list(range(lo, min(lo + buckets_per_chunk, n_buckets)))
+        chunk_id = f"b{chunk_buckets[0]:04d}-{chunk_buckets[-1]:04d}"
+        if not cat.is_committed("extracted", chunk_id):
+            pending.append((chunk_buckets, chunk_id))
+
+    if max_concurrent_chunks <= 1:
+        for chunk_buckets, chunk_id in pending:
+            do_chunk(chunk_buckets, chunk_id)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrent_chunks) as pool:
+            futures = [pool.submit(do_chunk, b, cid) for b, cid in pending]
+            errs = [f.exception() for f in futures]
+        for e in errs:
+            if e is not None:
+                raise e
     return cat
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from pathlib import Path
 from typing import Any
@@ -32,6 +33,11 @@ class LocalCatalog:
     def __init__(self, root: str | os.PathLike) -> None:
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # serializes the manifest read-modify-write for concurrent chunk
+        # commits from one driver (plans/jobs.py thread pool). Scope is
+        # per-process by design: Iceberg's optimistic-concurrency commit
+        # replaces this when multiple drivers share a table.
+        self._commit_lock = threading.Lock()
 
     # -- manifest ------------------------------------------------------------
     def _manifest_path(self, table: str) -> Path:
@@ -77,15 +83,16 @@ class LocalCatalog:
         # overwrite: a previous FAILED attempt may have left partial
         # files; they were never committed, so clobbering is safe
         df.write.mode("overwrite").parquet(path)
-        manifest = self._load_manifest(table)
-        if chunk_id in manifest["chunks"]:
-            return False
-        manifest["chunks"][chunk_id] = {
-            "path": path,
-            "committed_at_unix": time.time(),
-            **(meta or {}),
-        }
-        self._store_manifest(table, manifest)
+        with self._commit_lock:
+            manifest = self._load_manifest(table)
+            if chunk_id in manifest["chunks"]:
+                return False
+            manifest["chunks"][chunk_id] = {
+                "path": path,
+                "committed_at_unix": time.time(),
+                **(meta or {}),
+            }
+            self._store_manifest(table, manifest)
         return True
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
