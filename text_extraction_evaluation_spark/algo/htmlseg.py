@@ -109,10 +109,16 @@ class Paragraph:
 
 class _SegmenterCore:
     """Tokenizer-independent event logic (the actual jusText
-    segmentation semantics). Both front-ends drive this."""
+    segmentation semantics). Both front-ends drive this.
+
+    Perf: open-tag membership and the heading flag are maintained
+    incrementally (_open_counts / _heading_depth) so end-tag handling
+    and paragraph creation are O(1) instead of O(stack depth) — the
+    event layer is on the extraction kernel's hot path."""
 
     __slots__ = ("stack", "paragraphs", "_cur", "_skip_depth",
-                 "_link_depth", "_br_pending")
+                 "_link_depth", "_br_pending", "_open_counts",
+                 "_heading_depth")
 
     def __init__(self) -> None:
         self.stack: list[str] = []
@@ -121,6 +127,16 @@ class _SegmenterCore:
         self._skip_depth = 0
         self._link_depth = 0
         self._br_pending = False
+        self._open_counts: dict[str, int] = {}
+        self._heading_depth = 0
+
+    # -- stack maintenance ---------------------------------------------------
+    def _push(self, tag: str) -> None:
+        self.stack.append(tag)
+        c = self._open_counts
+        c[tag] = c.get(tag, 0) + 1
+        if tag in _HEADING_TAGS:
+            self._heading_depth += 1
 
     # -- paragraph lifecycle -------------------------------------------------
     def _flush(self) -> None:
@@ -133,8 +149,7 @@ class _SegmenterCore:
     def _ensure(self) -> Paragraph:
         if self._cur is None:
             path = ".".join(self.stack)
-            heading = any(t in _HEADING_TAGS for t in self.stack)
-            self._cur = Paragraph(dom_path=path, heading=heading)
+            self._cur = Paragraph(dom_path=path, heading=self._heading_depth > 0)
         return self._cur
 
     # -- events ----------------------------------------------------------
@@ -142,7 +157,7 @@ class _SegmenterCore:
         if tag in _SKIP_CONTENT_TAGS:
             self._flush()
             self._skip_depth += 1
-            self.stack.append(tag)
+            self._push(tag)
             return
         if tag == "br":
             if self._br_pending:
@@ -154,7 +169,7 @@ class _SegmenterCore:
             return
         if tag in _VOID_TAGS:
             return
-        self.stack.append(tag)
+        self._push(tag)
         if tag in PARAGRAPH_TAGS:
             self._flush()
         else:
@@ -187,16 +202,23 @@ class _SegmenterCore:
 
     def _pop_until(self, tag: str) -> None:
         # Tolerate malformed nesting: pop to the nearest matching open
-        # tag if one exists, else ignore the stray close tag.
-        if tag in self.stack:
-            while self.stack:
-                if self.stack.pop() == tag:
-                    break
+        # tag if one exists, else ignore the stray close tag. O(1)
+        # membership via the open-tag counts.
+        if not self._open_counts.get(tag):
+            return
+        c = self._open_counts
+        while self.stack:
+            t = self.stack.pop()
+            c[t] -= 1
+            if t in _HEADING_TAGS:
+                self._heading_depth -= 1
+            if t == tag:
+                break
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth > 0 or not data:
             return
-        if not data.strip():
+        if data.isspace():
             # pure whitespace: acts as a separator, never starts a paragraph
             if self._cur is not None:
                 self._cur.chunks.append(" ")
