@@ -58,6 +58,26 @@ def oracle_extract(
     )
 
 
+def oracle_extract_density(pages: pd.DataFrame) -> pd.DataFrame:
+    """Second-extractor twin (densometric rules, algo/textdensity.py)."""
+    from text_extraction_evaluation_spark.algo.textdensity import (
+        extract_bytes_density,
+    )
+
+    rows = []
+    for url, ts, raw, lang in zip(
+        pages["url"], pages["warc_ts"], pages["html"], pages["lang"], strict=True
+    ):
+        res = extract_bytes_density(raw)
+        rows.append((url, ts, lang, res.text, res.n_paragraphs, res.n_good,
+                     res.status, res.err))
+    return pd.DataFrame(
+        rows,
+        columns=["url", "warc_ts", "lang", "text", "n_paragraphs", "n_good",
+                 "status", "err"],
+    )
+
+
 def oracle_spans(pages: pd.DataFrame, params: JustextParams = DEFAULT_PARAMS) -> pd.DataFrame:
     rows = []
     for url, raw, lang in zip(pages["url"], pages["html"], pages["lang"], strict=True):

@@ -30,9 +30,11 @@ import math
 
 from oracle.run_oracle import (
     oracle_extract,
+    oracle_extract_density,
     oracle_gold,
     oracle_latest_crawl,
     oracle_pages,
+    oracle_report,
     oracle_scores,
     oracle_spans,
 )
@@ -121,6 +123,33 @@ def main() -> None:
         print("WORST_DOCS = [")
         for w in wrows:
             print(f"  {w},")
+        print("]")
+
+        # second extractor: densometric rules fingerprint + the
+        # cross-extractor ranking (integers/strings only)
+        dens = oracle_extract_density(latest)
+        d_fp = sum(
+            fp48("|".join([r.url, r.lang, r.status, str(r.n_paragraphs),
+                           str(r.n_good), r.text or ""]))
+            for r in dens.itertuples()
+        )
+        print(f"DENSITY_FP[{n_docs}] = ({len(dens)}, {d_fp})")
+
+        dscores = oracle_scores(dens, oracle_gold(docs), extractor="textdensity")
+        both = pd.concat([scores, dscores], ignore_index=True)
+        rep = oracle_report(both)
+        rep = rep.sort_values(
+            ["dataset", "avg_f1", "extractor"], ascending=[True, False, True]
+        )
+        rep["rank"] = rep.groupby("dataset").cumcount() + 1
+        rrows = [
+            (r.dataset, int(r.rank), r.extractor, int(r.n_ok), int(r.n_empty),
+             int(r.n_fail))
+            for r in rep.itertuples()
+        ]
+        print("EXTRACTOR_RANKING = [")
+        for rw in rrows:
+            print(f"  {rw},")
         print("]")
         print()
 

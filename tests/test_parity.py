@@ -130,3 +130,40 @@ def test_report_macro_f1_matches_oracle(spark, oracle_out, spark_out):
         assert got["n_empty"] == row["n_empty"]
         assert math.isclose(got["avg_f1"], row["avg_f1"], rel_tol=1e-12)
         assert math.isclose(got["std_f1"], row["std_f1"], rel_tol=1e-9)
+
+
+def test_density_extractor_parity(spark, oracle_out):
+    """Second extractor (densometric rules): Spark kernel output is
+    byte-identical to the pandas oracle twin, same gate as jusText."""
+    from oracle.run_oracle import oracle_extract_density
+    from text_extraction_evaluation_spark.operators.extract import (
+        extract_pages_density,
+        extracted_clean,
+        latest_crawl,
+    )
+    from text_extraction_evaluation_spark.sources.readers import pages_df
+
+    pages = pages_df(spark, SF0001, n_partitions=8)
+    got = (
+        extracted_clean(extract_pages_density(latest_crawl(pages)))
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle_extract_density(oracle_out["latest"])
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(got["url"]) == list(want["url"])
+    mism = [
+        u
+        for u, a, b in zip(got["url"], got["text"], want["text"], strict=True)
+        if a.encode() != b.encode()
+    ]
+    assert not mism, f"{len(mism)} urls differ; first: {mism[0]!r}"
+    for col in ("status", "n_paragraphs", "n_good"):
+        assert list(got[col]) == list(want[col]), col
+    # the two extractors genuinely differ (different operating points)
+    jus = oracle_out["extracted"].sort_values("url").reset_index(drop=True)
+    assert any(a != b for a, b in zip(want["text"], jus["text"], strict=True))

@@ -139,6 +139,51 @@ def extract_spans(
     return pruned.mapInPandas(kernel, SPANS_SCHEMA)
 
 
+def extract_pages_density(pages: DataFrame) -> DataFrame:
+    """Second extractor (densometric WSDM-2010 rules,
+    algo/textdensity.py) through the identical kernel plumbing —
+    pruned input, Arrow batches, lineage ride-alongs — so the
+    evaluation layer can rank extractors like the reference harness."""
+    from ..algo.textdensity import extract_bytes_density
+
+    pruned = pages.select("url", "warc_ts", "html", "lang")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            out = {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "lang": pdf["lang"],
+                "text": [],
+                "n_paragraphs": [],
+                "n_good": [],
+                "status": [],
+                "err": [],
+            }
+            bytes_in = []
+            for raw in pdf["html"]:
+                res = extract_bytes_density(raw)
+                out["text"].append(res.text)
+                out["n_paragraphs"].append(res.n_paragraphs)
+                out["n_good"].append(res.n_good)
+                out["status"].append(res.status)
+                out["err"].append(res.err)
+                bytes_in.append(len(raw))
+            now = time.time()
+            yield pd.DataFrame(
+                {
+                    **out,
+                    "pid": pd.Series([pid] * len(pdf), dtype="int32"),
+                    "bytes_in": pd.Series(bytes_in, dtype="int64"),
+                    "t_unix": pd.Series([now] * len(pdf), dtype="float64"),
+                }
+            )
+
+    return pruned.mapInPandas(kernel, EXTRACT_SCHEMA)
+
+
 def latest_crawl(pages: DataFrame) -> DataFrame:
     """Keep the newest crawl per url (W-dedup; SURVEY.md §2.10).
 

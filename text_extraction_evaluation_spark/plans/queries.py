@@ -1592,6 +1592,123 @@ FROM r WHERE nn_rank <= {k}
 """
 
 
+# Per-language sampling rates (percent) for the stratified sampler —
+# the "downsample the over-represented language" knob of a training-data
+# mix. Frozen constants shared with the SQL twin.
+_SAMPLE_RATES: dict[str, int] = {"en": 40, "de": 60, "fr": 60, "es": 80, "zh": 100}
+
+
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (language) sampling via the engine-
+    portable hash: keep a doc when md5_int(doc_id) % 100 < rate[lang].
+    Map-side only — no shuffle, no RNG, reproducible across runs and
+    engines; the 100 TB shape for building a training mix (each
+    executor decides membership locally from the key hash)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    h = md5_int(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    rate = reduce(
+        lambda acc, kv: acc.when(F.col("lang") == kv[0], F.lit(kv[1])),
+        _SAMPLE_RATES.items(),
+        F.when(F.lit(False), F.lit(0)),
+    ).otherwise(F.lit(0))
+    return (
+        docs.withColumn("bucket_pct", h.cast("int"))
+        .filter(F.col("bucket_pct") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+def _sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in _SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 100 AS bucket_pct
+  FROM documents
+)
+WHERE bucket_pct < (CASE lang {cases} ELSE 0 END)
+GROUP BY lang
+"""
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic quality gate over the corpus, pure JVM
+    higher-order functions: minimum token count, bounded mean word
+    length, stopword-ratio floor, terminal-punctuation sentence ratio.
+    Emits the per-(lang, keep) census plus quantized mean scores — the
+    shape a 100 TB run materializes to audit what a filter drops."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tok = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    ).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS_SORTED))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    # repetition signal: distinct-token fraction (low = boilerplate/spam
+    # loops). Reported for auditing, not part of the keep rule — the
+    # fixture's closed vocabulary would make any threshold length-biased.
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    keep = (
+        (n_tok >= 50)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (stop_ratio >= 0.05)
+    )
+    return (
+        docs.select(
+            "lang",
+            keep.alias("keep"),
+            n_tok.alias("n_tok"),
+            mean_len.alias("mean_len"),
+            stop_ratio.alias("stop_ratio"),
+            uniq_ratio.alias("uniq_ratio"),
+        )
+        .groupBy("lang", "keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("mean_len"), 6).alias("avg_mean_len"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+            F.round(F.avg("uniq_ratio"), 6).alias("avg_uniq_ratio"),
+        )
+    )
+
+
+_QUALITY_FILTER_SQL = f"""
+WITH t AS (
+  SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), f AS (
+  SELECT lang,
+         len(toks) AS n_tok,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS mean_len,
+         CAST(len(list_filter(toks, w -> list_contains([{_STOP_SQL}], lower(w)))) AS DOUBLE) / len(toks) AS stop_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+  FROM t
+)
+SELECT lang,
+       (n_tok >= 50 AND mean_len >= 3.0 AND mean_len <= 10.0 AND stop_ratio >= 0.05) AS keep,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(mean_len), 6) AS avg_mean_len,
+       ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio,
+       ROUND(AVG(uniq_ratio), 6) AS avg_uniq_ratio
+FROM f GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Golden-fingerprint gates for the non-SQL-expressible extraction family.
 #
@@ -1845,6 +1962,97 @@ WHERE n_events = (SELECT COUNT(*) FROM events)
 """
 
 
+def _extracted_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extract import extract_pages_density, extracted_clean, latest_crawl
+    from ..sources.readers import pages_df
+
+    pages = pages_df(spark, sf_dir, n_partitions=16)
+    return extracted_clean(extract_pages_density(latest_crawl(pages)))
+
+
+def density_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-parity gate for the SECOND extractor (densometric WSDM-2010
+    rules): same order-independent fingerprint shape as
+    extract_text_fingerprint, constants frozen from the pandas oracle
+    twin (oracle_extract_density)."""
+    ex = _extracted_density(spark, sf_dir)
+    key = F.concat_ws(
+        "|",
+        "url",
+        "lang",
+        "status",
+        F.col("n_paragraphs").cast("string"),
+        F.col("n_good").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(_fp48(key)).alias("fp_sum")
+    )
+
+
+_DENSITY_FP_SQL = """
+SELECT n_rows, fp_sum FROM (VALUES
+  (1000,  CAST(500 AS BIGINT), CAST(72656019036639518 AS BIGINT)),
+  (10000, CAST(500 AS BIGINT), CAST(70358403449349225 AS BIGINT))
+) t(n_events, n_rows, fp_sum)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def extractor_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference harness's core deliverable: multiple extractors
+    scored against the same gold and RANKED per dataset (W1). Both
+    extraction kernels run over the same latest-crawl pages; scores are
+    unioned and fed to ranked_report; the driver-hashed output keeps
+    the integer/string columns (rank order is decided by avg macro-F1
+    internally — floats stay out of the hash). Oracle = frozen VALUES
+    from the pandas oracle running both extractors."""
+    from ..operators.report import ranked_report
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    gold = gold_df(spark, sf_dir)
+    scores = score_extracted(
+        _extracted(spark, sf_dir), gold, extractor="justext_spark"
+    ).unionByName(
+        score_extracted(_extracted_density(spark, sf_dir), gold, extractor="textdensity")
+    )
+    return ranked_report(scores).select(
+        "dataset", "rank", "extractor", "n_ok", "n_empty", "n_fail"
+    )
+
+
+_EXTRACTOR_RANKING_CONST: dict[int, list[tuple]] = {
+    1000: [
+        ("cleaneval", 1, "justext_spark", 138, 112, 0),
+        ("cleaneval", 2, "textdensity", 197, 53, 0),
+        ("googlenews", 1, "justext_spark", 143, 107, 0),
+        ("googlenews", 2, "textdensity", 198, 52, 0),
+    ],
+    10000: [
+        ("cleaneval", 1, "justext_spark", 139, 111, 0),
+        ("cleaneval", 2, "textdensity", 199, 51, 0),
+        ("googlenews", 1, "justext_spark", 135, 115, 0),
+        ("googlenews", 2, "textdensity", 200, 50, 0),
+    ],
+}
+
+
+def _extractor_ranking_sql() -> str:
+    rows = ",\n  ".join(
+        f"({n_ev}, '{ds}', CAST({rk} AS INTEGER), '{ex}', CAST({n_ok} AS BIGINT), "
+        f"CAST({n_empty} AS BIGINT), CAST({n_fail} AS BIGINT))"
+        for n_ev, rs in _EXTRACTOR_RANKING_CONST.items()
+        for (ds, rk, ex, n_ok, n_empty, n_fail) in rs
+    )
+    return f"""
+SELECT dataset, rank, extractor, n_ok, n_empty, n_fail FROM (VALUES
+  {rows}
+) t(n_events, dataset, rank, extractor, n_ok, n_empty, n_fail)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1890,4 +2098,8 @@ SQL_CHECKED = {
     "status_counts": (status_counts_query, _STATUS_COUNTS_SQL),
     "worst_documents": (worst_documents_query, _worst_docs_sql()),
     "ann_lsh_topk": (ann_lsh_topk_query, _ann_lsh_sql()),
+    "doc_sample_stratified": (doc_sample_stratified, _sample_sql()),
+    "quality_filter": (quality_filter, _QUALITY_FILTER_SQL),
+    "density_text_fingerprint": (density_text_fingerprint, _DENSITY_FP_SQL),
+    "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
 }
