@@ -58,7 +58,16 @@ def main() -> None:
         ("ann_ivf_topk", "broadcast coarse quantizer; inverted-list probe "
          "is an equi-join on the cell id, no cartesian product"),
         ("dedup_minhash_lsh", "LSH bucket pair-generation shuffles only "
-         "(band, band_key) — shingles never cross the wire"),
+         "(band, band_key) — shingles never cross the wire; oversized "
+         "buckets are star-reduced without a collect_list"),
+        ("dedup_simhash_pairs", "banded SimHash: candidates from an "
+         "EQUI-join on (band, value) — no nested-loop self-join; exact "
+         "for Hamming <= 6 by the 7-band pigeonhole"),
+        ("dedup_ngram_jaccard", "exact Jaccard via inverted-index "
+         "equi-join on the shingle + intersection counts — the brute "
+         "all-pairs formulation survives only as a test twin"),
+        ("doc_containment", "winnowing containment: sketch-sized "
+         "equi-join on sampled rolling-hash fingerprints"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))

@@ -399,8 +399,16 @@ WHERE s_acctbal = (
 # ---------------------------------------------------------------------------
 
 
+# BPE-ish pre-tokenizer regex (GPT-2-style, simplified to the subset
+# where Java regex and RE2 agree): letter runs, digit runs, and single
+# non-alphanumeric marks — the standard proxy for LLM token budgeting
+# when the real BPE merges are not applied.
+_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting — whitespace tokenizer, JVM-side only."""
+    """Token counting — whitespace tokenizer + BPE-ish regex count,
+    JVM-side only."""
     docs = _docs_par(spark, sf_dir)
     tok = tokens_col("text")
     n = F.size(tok)
@@ -409,19 +417,21 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("n_bpe_tokens"),
         chars.alias("n_chars_nospace"),
         F.round(chars.cast("double") / n, 6).alias("avg_token_len"),
     )
 
 
-_TOKEN_STATS_SQL = """
+_TOKEN_STATS_SQL = f"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS bpe,
          length(regexp_replace(text, '\\s+', '', 'g')) AS chars
   FROM documents
 )
 SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct_tokens,
-       chars AS n_chars_nospace,
+       bpe AS n_bpe_tokens, chars AS n_chars_nospace,
        ROUND(CAST(chars AS DOUBLE) / len(w), 6) AS avg_token_len
 FROM t
 """
@@ -753,6 +763,59 @@ WITH t AS (
   FROM sh
 )
 SELECT doc_id, unnest(fps) AS fingerprint FROM h WHERE len(fps) > 0
+"""
+
+
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing containment candidates: documents sharing >= 2 sampled
+    rolling-hash fingerprints, scored by |shared| / min(|fps_a|,
+    |fps_b|) — the standard copy/containment estimate (MOSS-style) from
+    the compact sketch. EQUI-join on the fingerprint, never an
+    all-pairs comparison; at 100 TB the sketch (1-in-8 of 5-gram
+    hashes) is what ships to the shuffle, not documents."""
+    from ..operators.textstats import rolling_fingerprints
+
+    fps = rolling_fingerprints(_docs_par(spark, sf_dir), window=5, keep_mod=8)
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_fp").alias("n_b"))
+    contain = F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+    return (
+        shared.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a", "doc_id_b", "n_shared",
+            F.round(contain, 6).alias("containment"),
+        )
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH fp AS ({_ROLLING_FP_SQL}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_shared
+  FROM fp a JOIN fp b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT doc_id_a, doc_id_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
 """
 
 
@@ -2102,4 +2165,5 @@ SQL_CHECKED = {
     "quality_filter": (quality_filter, _QUALITY_FILTER_SQL),
     "density_text_fingerprint": (density_text_fingerprint, _DENSITY_FP_SQL),
     "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
+    "doc_containment": (doc_containment, _CONTAINMENT_SQL),
 }
