@@ -49,16 +49,33 @@ def test_verified_pairs_subset_of_bruteforce_and_finds_planted(spark, docs):
 
 def test_dedup_keep_list_drops_one_side(spark, docs):
     from text_extraction_evaluation_spark.operators.dedup import (
+        connected_components,
         dedup_keep_list,
         verified_near_dup_pairs,
     )
 
     pairs = verified_near_dup_pairs(docs, threshold=0.8)
     drops = {r["doc_id_b"] for r in pairs.collect()}
-    kept = dedup_keep_list(docs, threshold=0.8)
-    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
-    assert kept_ids.isdisjoint(drops)
-    assert kept_ids | drops == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+    # greedy: drop exactly the larger side of every verified pair
+    kept_g = {
+        r["doc_id"]
+        for r in dedup_keep_list(docs, threshold=0.8, method="greedy")
+        .select("doc_id").collect()
+    }
+    assert kept_g.isdisjoint(drops)
+    assert kept_g | drops == all_ids
+
+    # components (default): exactly one survivor (the min id) per
+    # duplicate group; singletons all survive
+    comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    expect = (all_ids - set(comp)) | {c for c in comp.values()}
+    kept_c = {
+        r["doc_id"]
+        for r in dedup_keep_list(docs, threshold=0.8).select("doc_id").collect()
+    }
+    assert kept_c == expect
 
 
 def test_exact_dedup_on_duplicated_input(spark, docs):

@@ -241,12 +241,25 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
-def dedup_keep_list(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Greedy near-dup removal: for every verified pair drop the larger
-    doc_id; returns the surviving (deduplicated) documents. (Greedy
-    pairwise policy, not full connected components — transitive chains
-    keep their minimal element per pair relation; CC is a planned
-    iterative operator.)"""
+def dedup_keep_list(
+    docs: DataFrame, threshold: float = 0.8, method: str = "components"
+) -> DataFrame:
+    """Near-dup removal: returns the surviving (deduplicated) documents.
+
+    ``method='components'`` (default): connected components over the
+    verified pair graph, keep exactly one doc per component (the min
+    id) — transitive chains a~b~c collapse to one survivor even when
+    a and c were never directly compared. ``method='greedy'``: the
+    cheaper pairwise policy (drop the larger id of every verified
+    pair; no CC iterations) — may keep >1 member of a transitive
+    chain, the documented tradeoff when driver round-trips are too
+    expensive for a tiny tail of chains."""
     pairs = verified_near_dup_pairs(docs, threshold)
-    drops = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    if method == "greedy":
+        drops = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    elif method == "components":
+        comp = connected_components(pairs)
+        drops = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    else:
+        raise ValueError(f"unknown method {method!r}; use 'components' or 'greedy'")
     return docs.join(drops, "doc_id", "left_anti")
