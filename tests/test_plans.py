@@ -158,6 +158,33 @@ def test_pair_queries_are_equijoins(spark):
         ), q.__name__
 
 
+def test_new_corpus_queries_prune_and_equijoin(spark):
+    """doc_sample_stratified is map-side pre-agg and reads only the
+    columns it needs; quality_filter prunes too; doc_containment's
+    candidate generation is an equi-join on the fingerprint."""
+    from text_extraction_evaluation_spark.plans.queries import (
+        doc_containment,
+        doc_sample_stratified,
+        quality_filter,
+    )
+
+    plan = plan_of(doc_sample_stratified(spark, SF0001))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in read_schema  # only doc_id, lang, n_chars read
+    assert "partial_count" in plan or "partial" in plan  # map-side combine
+
+    plan = plan_of(quality_filter(spark, SF0001))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "n_chars" not in read_schema and "source" not in read_schema
+
+    plan = plan_of(doc_containment(spark, SF0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
 def test_salting_spreads_hot_url(spark):
     """The north-rule skew case: one url crawled thousands of times
     pins a single Python worker under plain url-hash partitioning;

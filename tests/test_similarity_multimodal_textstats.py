@@ -179,3 +179,23 @@ def test_pdf_extract_pages_corrupt_and_real_stub(spark):
     assert [(r["doc_id"], r["status"], r["text"]) for r in rows] == [(99, "decode_error", "")]
     with _pytest.raises(Exception, match="NotImplementedError|pdfium"):
         pdf_extract_pages(bad, decoder="real").collect()
+
+
+def test_kmeans_embeddings_converges_and_stays_mapside(spark):
+    from tests.conftest import SF0001
+    from text_extraction_evaluation_spark.plans.queries import kmeans_embeddings
+
+    out = kmeans_embeddings(spark, SF0001, k=8, iters=3)
+    rows = out.collect()
+    cids = {r["cid"] for r in rows}
+    assert cids <= set(range(8)) and len(cids) >= 2
+    # every vector is in exactly one cluster
+    per_cid = {r["cid"]: r["n_members"] for r in rows}
+    assert sum(per_cid.values()) == 500
+    # 64 dims per surviving centroid
+    import collections
+    dims = collections.Counter(r["cid"] for r in rows)
+    assert all(v == 64 for v in dims.values())
+    # assignment is map-side argmin: the corpus never shuffles on vec_id
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(vec_id" not in plan

@@ -46,6 +46,42 @@ def test_stream_extraction_matches_batch(spark, tmp_path_factory):
     assert n_after == len(want)
 
 
+def test_stream_dedup_drops_recrawls(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark keeps one row per url when the
+    re-crawls arrive inside the watermark horizon."""
+    from text_extraction_evaluation_spark.sources.readers import pages_df
+    from text_extraction_evaluation_spark.streaming.stream import (
+        dedup_pages_stream,
+        read_pages_stream,
+    )
+
+    base = tmp_path_factory.mktemp("sdedup")
+    pages_dir = str(base / "pages")
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    pages = pages_df(spark, SF0001, n_partitions=4)
+    n_urls = pages.select("url").distinct().count()
+    n_rows = pages.count()
+    assert n_rows > n_urls  # the fixture plants duplicate crawls
+    pages.write.parquet(pages_dir)
+
+    q = (
+        dedup_pages_stream(read_pages_stream(spark, pages_dir, max_files_per_trigger=2))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n_urls
+    assert out.select("url").distinct().count() == n_urls
+
+
 def test_gap_interval_parsing():
     import pytest
 

@@ -2116,6 +2116,112 @@ WHERE n_events = (SELECT COUNT(*) FROM events)
 """
 
 
+def kmeans_embeddings(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table — the
+    iterative-algorithm shape (like connected_components) done entirely
+    as composed DataFrame ops with ZERO driver actions: per iteration,
+    centroids collapse to a one-row broadcast array, assignment is a
+    map-side integer argmin (no shuffle), and the update is one
+    (cell, dim) hash aggregate. At 10^9 vectors each iteration is one
+    shuffle of (cell, dim, q) partial sums — partial-agg friendly.
+
+    Determinism across engines: vectors are quantized to integers
+    (floor(x * 1e6)), so distances and centroid updates are EXACT
+    integer arithmetic — no float-sum ordering anywhere — and Spark's
+    ``div`` matches DuckDB's ``//`` (both truncate toward zero).
+    Init = first k vectors (production swaps in k-means|| sampling).
+    Emits (cid, n_members, dim_idx, centroid_q)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = F.transform("v", lambda x: F.floor(x * 1e6).cast("bigint"))
+    base = emb.select("vec_id", qv.alias("qv"))
+    cent = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("cq")
+    )
+    assigned = None
+    for _ in range(iters):
+        cent_arr = cent.select(F.struct("cid", "cq").alias("c")).agg(
+            F.collect_list("c").alias("cents")
+        )
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), c["cq"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        assigned = base.join(F.broadcast(cent_arr)).withColumn(
+            "cell", F.element_at(F.array_sort(scored), 1)["cid"]
+        )
+        upd = (
+            assigned.select("cell", F.posexplode("qv").alias("d", "q"))
+            .groupBy("cell", "d")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cell", "d", "n", F.expr("s div n").alias("cq"))
+        )
+        cent = (
+            upd.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cq"))),
+                    lambda p: p["cq"],
+                ).alias("cq"),
+                F.min("n").alias("n_members"),
+            )
+            .select(F.col("cell").cast("int").alias("cid"), "cq", "n_members")
+        )
+    return cent.select(
+        "cid",
+        "n_members",
+        F.posexplode("cq").alias("dim_idx", "centroid_q"),
+    )
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), ev AS (
+  SELECT vec_id, d, qv[d] AS q FROM e, range(1, {dim + 1}) t(d)
+), c0 AS (
+  SELECT vec_id AS cid, d, qv[d] AS cq, 1 AS n
+  FROM e, range(1, {dim + 1}) t(d) WHERE vec_id < {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""", dist{i} AS (
+  SELECT ev.vec_id, c.cid, SUM((ev.q - c.cq) * (ev.q - c.cq)) AS dist
+  FROM ev JOIN c{i - 1} c ON ev.d = c.d
+  GROUP BY 1, 2
+), a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dist{i}
+  ) WHERE rn = 1
+), c{i} AS (
+  SELECT a.cid, ev.d, CAST(SUM(ev.q) // COUNT(*) AS BIGINT) AS cq,
+         COUNT(*) AS n
+  FROM a{i} a JOIN ev ON ev.vec_id = a.vec_id
+  GROUP BY 1, 2
+)""")
+    parts.append(f"""
+SELECT CAST(cid AS INTEGER) AS cid, CAST(n AS BIGINT) AS n_members,
+       CAST(d - 1 AS INTEGER) AS dim_idx, cq AS centroid_q
+FROM c{iters}
+""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2166,4 +2272,5 @@ SQL_CHECKED = {
     "density_text_fingerprint": (density_text_fingerprint, _DENSITY_FP_SQL),
     "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
     "doc_containment": (doc_containment, _CONTAINMENT_SQL),
+    "kmeans_embeddings": (kmeans_embeddings, _kmeans_sql()),
 }

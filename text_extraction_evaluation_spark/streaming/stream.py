@@ -53,6 +53,20 @@ def start_extraction_stream(
     )
 
 
+def dedup_pages_stream(
+    pages_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup on url: keep the first arrival of each url,
+    dropping re-crawls that arrive within the watermark horizon —
+    Structured Streaming's bounded-state twin of the batch
+    ``latest_crawl``/``dedup_exact`` tier (state per url is evicted once
+    the watermark passes, so memory stays proportional to the horizon,
+    not the corpus — the property that matters at 10^12 pages)."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 def windowed_status_counts(pages_stream: DataFrame, watermark: str = "1 hour"):
     """Stateful streaming aggregate: per 10-minute crawl-time window,
     extraction status counts with late-data watermarking."""
@@ -189,6 +203,7 @@ __all__ = [
     "read_pages_stream",
     "extract_stream",
     "start_extraction_stream",
+    "dedup_pages_stream",
     "windowed_status_counts",
     "sessionize_events_stream",
 ]
