@@ -1265,30 +1265,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted lists via an equi-join on cell id. At 100 TB the cell
     count scales with corpus size so list length stays bounded.
     """
-    n_centroids, nprobe, topk, n_queries = 8, 2, 3, 10
+    n_centroids = 8
+    base = _emb_with_norm(spark, sf_dir)
+    cent = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    return _ivf_probe(base, cent, nprobe=2, topk=3, n_queries=10)
+
+
+def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     sq = F.sqrt(
         F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    base = emb.withColumn("nrm", sq)
-    # One-row broadcast of ALL centroids as an array: assignment is then
-    # a map-side argmin per vector (array_sort over per-centroid cosine
-    # structs) — no corpus x n_centroids row explosion and NO shuffle
-    # for the assignment stage (the window formulation shuffled the
-    # corpus 8x on vec_id). (-ccos asc, cid asc) sort order replicates
-    # the oracle's ROW_NUMBER ... ORDER BY ccos DESC, cid.
-    cent_arr = (
-        base.filter(F.col("vec_id") < n_centroids)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("cid"),
-                F.col("v").alias("cv"),
-                F.col("nrm").alias("cn"),
-            ).alias("c")
-        )
-        .agg(F.collect_list("c").alias("cents"))
+    return emb.withColumn("nrm", sq)
+
+
+def _ivf_probe(
+    base: DataFrame, cent: DataFrame, nprobe: int, topk: int, n_queries: int
+) -> DataFrame:
+    """Shared IVF probe: centroids (cid, cv, cn) collapse to a one-row
+    broadcast array; assignment is a map-side argmin per vector
+    (array_sort over per-centroid cosine structs) — no corpus x
+    n_centroids row explosion and NO shuffle for the assignment stage.
+    (-ccos asc, cid asc) sort order replicates the oracle's
+    ROW_NUMBER ... ORDER BY ccos DESC, cid."""
+    cent_arr = cent.select(F.struct("cid", "cv", "cn").alias("c")).agg(
+        F.collect_list("c").alias("cents")
     )
     scored_cells = F.transform(
         F.col("cents"),
@@ -2133,6 +2138,20 @@ def kmeans_embeddings(
     ``div`` matches DuckDB's ``//`` (both truncate toward zero).
     Init = first k vectors (production swaps in k-means|| sampling).
     Emits (cid, n_members, dim_idx, centroid_q)."""
+    cent = _kmeans_centroids(spark, sf_dir, k, iters)
+    return cent.select(
+        "cid",
+        "n_members",
+        F.posexplode("cq").alias("dim_idx", "centroid_q"),
+    )
+
+
+def _kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """(cid, cq: array<bigint>, n_members) after ``iters`` Lloyd
+    updates — the composable form (ann_ivf_kmeans_topk feeds these
+    into the IVF probe as its coarse quantizer)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -2177,14 +2196,28 @@ def kmeans_embeddings(
             )
             .select(F.col("cell").cast("int").alias("cid"), "cq", "n_members")
         )
-    return cent.select(
-        "cid",
-        "n_members",
-        F.posexplode("cq").alias("dim_idx", "centroid_q"),
+    return cent
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the LEARNED coarse quantizer: k-means centroids
+    (integer-exact Lloyd iterations) dequantized to doubles feed the
+    same map-side-argmin probe as ann_ivf_topk — the production IVF
+    composition the first-k variant stubs."""
+    base = _emb_with_norm(spark, sf_dir)
+    cv = F.transform("cq", lambda x: x / F.lit(1e6))
+    cent = _kmeans_centroids(spark, sf_dir).select(
+        "cid", cv.alias("cv")
     )
+    cn = F.sqrt(
+        F.aggregate(F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cent = cent.withColumn("cn", cn)
+    return _ivf_probe(base, cent, nprobe=2, topk=3, n_queries=10)
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """The WITH-clause body shared by _kmeans_sql and _ivf_kmeans_sql."""
     parts = [
         f"""WITH e AS (
   SELECT vec_id,
@@ -2214,12 +2247,60 @@ def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
   FROM a{i} a JOIN ev ON ev.vec_id = a.vec_id
   GROUP BY 1, 2
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    return _kmeans_ctes(k, iters, dim) + f"""
 SELECT CAST(cid AS INTEGER) AS cid, CAST(n AS BIGINT) AS n_members,
        CAST(d - 1 AS INTEGER) AS dim_idx, cq AS centroid_q
 FROM c{iters}
-""")
-    return "".join(parts)
+"""
+
+
+def _ivf_kmeans_sql(
+    k: int = 8, iters: int = 3, dim: int = 64,
+    nprobe: int = 2, topk: int = 3, n_queries: int = 10,
+) -> str:
+    """IVF probe over the k-means centroids: the kmeans CTE chain plus
+    the same cosine/rank logic as _IVF_SQL, with centroid vectors
+    reassembled as ordered lists and dequantized (cq / 1e6 — exact in
+    doubles) so list_dot_product mirrors the Spark fold."""
+    return _kmeans_ctes(k, iters, dim) + f""", cent AS (
+  SELECT CAST(cid AS INTEGER) AS cid,
+         list_transform(list(cq ORDER BY d), x -> x / 1000000.0) AS cv
+  FROM c{iters} GROUP BY cid
+), centn AS (
+  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent
+), nv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), ranked AS (
+  SELECT nv.vec_id, nv.v, nv.nrm, centn.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY nv.vec_id
+           ORDER BY list_dot_product(nv.v, centn.cv) / (nv.nrm * centn.cn) DESC, centn.cid
+         ) AS crank
+  FROM nv CROSS JOIN centn
+), cells AS (
+  SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cell
+  FROM ranked WHERE vec_id < {n_queries} AND crank <= {nprobe}
+), scored AS (
+  SELECT query_id, cells.vec_id AS neighbor_id,
+         list_dot_product(qv, cells.v) / (qn * cells.nrm) AS cos
+  FROM probes JOIN cells USING (cell)
+  WHERE cells.vec_id <> query_id
+), top AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, nn_rank, ROUND(cos, 4) AS cos_sim
+FROM top WHERE nn_rank <= {topk}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2273,4 +2354,5 @@ SQL_CHECKED = {
     "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
     "doc_containment": (doc_containment, _CONTAINMENT_SQL),
     "kmeans_embeddings": (kmeans_embeddings, _kmeans_sql()),
+    "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ivf_kmeans_sql()),
 }
