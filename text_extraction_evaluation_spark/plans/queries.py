@@ -2121,6 +2121,49 @@ WHERE n_events = (SELECT COUNT(*) FROM events)
 """
 
 
+def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT length percentiles (p50/p90/p99, linear
+    interpolation) — corpus profiling for filter-threshold tuning.
+    Exact (sort-based) rather than approx_percentile: t-digest /
+    GK sketches are engine-specific, so the approximate variants can
+    never be oracle-checked; at 100 TB swap in approx_percentile and
+    keep this as the audit query on samples."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99_chars"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       ROUND(quantile_cont(n_chars, 0.99), 4) AS p99_chars
+FROM documents GROUP BY lang
+"""
+
+
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width length histogram per language (bucket = n_chars div
+    100) — map-side bucketing + hash aggregate, the shape that profiles
+    a 100 TB corpus in one pass."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return (
+        docs.withColumn("bucket_lo", F.expr("(n_chars div 100) * 100"))
+        .groupBy("lang", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT lang, (n_chars // 100) * 100 AS bucket_lo, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
 def kmeans_embeddings(
     spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
 ) -> DataFrame:
@@ -2355,4 +2398,6 @@ SQL_CHECKED = {
     "doc_containment": (doc_containment, _CONTAINMENT_SQL),
     "kmeans_embeddings": (kmeans_embeddings, _kmeans_sql()),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ivf_kmeans_sql()),
+    "corpus_length_percentiles": (corpus_length_percentiles, _PERCENTILES_SQL),
+    "corpus_length_histogram": (corpus_length_histogram, _HISTOGRAM_SQL),
 }
