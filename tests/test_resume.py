@@ -105,6 +105,29 @@ def test_rerun_is_idempotent_noop(spark, pages, tmp_path_factory):
     assert before == after  # same commits, same timestamps: nothing re-ran
 
 
+def test_time_travel_reads_commit_prefix(spark, pages, tmp_path_factory):
+    """read(as_of=k) sees exactly the first k commits — the
+    LocalCatalog analogue of Iceberg VERSION AS OF."""
+    from text_extraction_evaluation_spark.plans.jobs import run_extraction_job
+    from text_extraction_evaluation_spark.sources.catalog import LocalCatalog
+
+    root = str(tmp_path_factory.mktemp("run_tt"))
+    run_extraction_job(spark, pages, root, n_buckets=8, buckets_per_chunk=2)
+    cat = LocalCatalog(root)
+    full = cat.read(spark, "extracted").count()
+    counts = [cat.read(spark, "extracted", as_of=k).count() for k in range(1, 5)]
+    assert counts[-1] == full
+    assert all(a < b for a, b in zip(counts, counts[1:]))  # strictly growing
+    assert cat.read(spark, "extracted", as_of=0) is None
+    # as_of=k row set == union of the first k committed chunk files
+    ordered = sorted(
+        cat.committed_chunks("extracted").values(),
+        key=lambda c: c["committed_at_unix"],
+    )
+    two = spark.read.parquet(*[c["path"] for c in ordered[:2]]).count()
+    assert cat.read(spark, "extracted", as_of=2).count() == two
+
+
 def test_run_metrics_lineage(spark, pages, tmp_path_factory):
     from text_extraction_evaluation_spark.plans.jobs import run_extraction_job
     from text_extraction_evaluation_spark.sources.catalog import LocalCatalog

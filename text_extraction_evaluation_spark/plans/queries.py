@@ -1459,6 +1459,60 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-03-0
 """
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the supplier and the
+    customer share a nation, one region, one order-date year. The
+    6-table join: lineitem⋈orders is the single wide dependency
+    (co-partition on orderkey at 100 TB — see tests/test_bucketing);
+    customer/supplier/nation/region all broadcast; Catalyst pushes the
+    region and date filters below the joins."""
+    cutoff_lo, cutoff_hi = "1997-01-01", "1998-01-01"
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == sup.s_suppkey)
+            & (F.col("c_nationkey") == sup.s_nationkey),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all four grouping combinations in
     one pass (partial-agg friendly; complements the rollup query)."""
@@ -2400,4 +2454,5 @@ SQL_CHECKED = {
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ivf_kmeans_sql()),
     "corpus_length_percentiles": (corpus_length_percentiles, _PERCENTILES_SQL),
     "corpus_length_histogram": (corpus_length_histogram, _HISTOGRAM_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, _Q5_SQL),
 }

@@ -95,13 +95,25 @@ class LocalCatalog:
             self._store_manifest(table, manifest)
         return True
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
-        """Snapshot read of all committed chunks (None if no commits)."""
+    def read(
+        self, spark: SparkSession, table: str, as_of: int | None = None
+    ) -> DataFrame | None:
+        """Snapshot read of committed chunks (None if no commits).
+
+        ``as_of=k`` reads the table AS OF its k-th commit (time travel
+        on commit order — the LocalCatalog analogue of Iceberg's
+        ``VERSION AS OF``): only the first k chunks by commit timestamp
+        are visible, exactly what a reader at that point saw, because
+        the manifest is replaced atomically per commit."""
         chunks = self.committed_chunks(table)
         if not chunks:
             return None
-        paths = [c["path"] for c in chunks.values()]
-        return spark.read.parquet(*paths)
+        ordered = sorted(chunks.values(), key=lambda c: c["committed_at_unix"])
+        if as_of is not None:
+            ordered = ordered[: max(0, as_of)]
+            if not ordered:
+                return None
+        return spark.read.parquet(*[c["path"] for c in ordered])
 
     def drop(self, table: str) -> None:
         import shutil
