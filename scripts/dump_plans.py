@@ -53,6 +53,13 @@ def main() -> None:
          "(PushedFilters) and only needed columns are read (ReadSchema)"),
         ("q_nation_revenue", "all four dimensions broadcast; the single "
          "potential wide join is handled by AQE"),
+        ("q5_local_supplier_volume", "6-table Q5 shape: one wide "
+         "lineitem-orders dependency, four broadcast dims, region and "
+         "date filters pushed below the joins"),
+        ("kmeans_embeddings", "iterative Lloyd updates as composed "
+         "DataFrame ops: broadcast centroid array, map-side argmin "
+         "assignment (zero vec_id exchange), one hash aggregate per "
+         "iteration"),
         ("q_events_asof_join", "zero Join operators — union + one window "
          "shuffle per key instead of a range join"),
         ("ann_ivf_topk", "broadcast coarse quantizer; inverted-list probe "

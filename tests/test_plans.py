@@ -221,3 +221,20 @@ def test_salting_spreads_hot_url(spark):
     # salted: the hot url spreads; the largest partition carries well
     # under half of the hot mass
     assert max(salted) < 400 * 0.5 + 800 / 8
+
+
+def test_approx_count_distinct_sanity_counter(spark):
+    """SURVEY §2.5 'approx distinct' — the 10^12-scale sanity counter:
+    approx_count_distinct(url) lands within its documented rsd of the
+    exact count on the synthesized page corpus (HLL++ sketch, one pass,
+    no shuffle of urls)."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_evaluation_spark.sources.readers import pages_df
+
+    pages = pages_df(spark, SF0001, n_partitions=4)
+    row = pages.agg(
+        F.approx_count_distinct("url", rsd=0.02).alias("approx"),
+        F.countDistinct("url").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"]
