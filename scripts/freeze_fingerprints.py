@@ -151,6 +151,27 @@ def main() -> None:
         for rw in rrows:
             print(f"  {rw},")
         print("]")
+
+        # exact-integer report: per (extractor, dataset) status counts,
+        # floor(1e9 * metric) sums over ok docs, and micro token counters
+        # — the flagship report in a driver-hashable (all-integer) form
+        erows = []
+        for (ex, ds), grp in both.groupby(["extractor", "dataset"]):
+            ok = grp[grp["status"] == "ok"]
+            erows.append((
+                ex, ds, len(ok),
+                int((grp["status"] == "empty").sum()),
+                int((~grp["status"].isin(["ok", "empty"])).sum()),
+                sum(q9(v) for v in ok["precision"]),
+                sum(q9(v) for v in ok["recall"]),
+                sum(q9(v) for v in ok["f1"]),
+                int(grp["matched"].sum()), int(grp["retrieved"].sum()),
+                int(grp["relevant"].sum()),
+            ))
+        print("REPORT_EXACT = [")
+        for rw in sorted(erows):
+            print(f"  {rw},")
+        print("]")
         print()
 
 

@@ -2400,6 +2400,73 @@ FROM top WHERE nn_rank <= {topk}
 """
 
 
+def extract_report_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship evaluation report in driver-hashable EXACT-INTEGER
+    form: per (extractor, dataset) status counts, floor(1e9 * metric)
+    sums over ok docs (order-independent integer sums of the bitwise-
+    deterministic per-doc P/R/F1), and the micro token counters. The
+    float report (`extract_report`) stays the human-facing entry; this
+    twin is what a cross-engine hash can gate — macro-F1 is
+    sum_f1_q9 / 1e9 / n_ok to within 1e-9."""
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    gold = gold_df(spark, sf_dir)
+    scores = score_extracted(
+        _extracted(spark, sf_dir), gold, extractor="justext_spark"
+    ).unionByName(
+        score_extracted(_extracted_density(spark, sf_dir), gold, extractor="textdensity")
+    )
+    ok = F.col("status") == "ok"
+    return scores.groupBy("extractor", "dataset").agg(
+        F.count(F.when(ok, 1)).alias("n_ok"),
+        F.count(F.when(F.col("status") == "empty", 1)).alias("n_empty"),
+        F.count(F.when(~ok & (F.col("status") != "empty"), 1)).alias("n_fail"),
+        F.sum(F.when(ok, _q9("precision")).otherwise(F.lit(0))).alias("sum_p_q9"),
+        F.sum(F.when(ok, _q9("recall")).otherwise(F.lit(0))).alias("sum_r_q9"),
+        F.sum(F.when(ok, _q9("f1")).otherwise(F.lit(0))).alias("sum_f1_q9"),
+        F.sum("matched").alias("micro_matched"),
+        F.sum("retrieved").alias("micro_retrieved"),
+        F.sum("relevant").alias("micro_relevant"),
+    )
+
+
+_REPORT_EXACT_CONST: dict[int, list[tuple]] = {
+    1000: [
+        ("justext_spark", "cleaneval", 138, 112, 0, 133010979488, 130898948037, 130860694132, 8916, 9372, 14032),
+        ("justext_spark", "googlenews", 143, 107, 0, 139255958514, 135660561391, 136273997358, 9196, 9509, 13907),
+        ("textdensity", "cleaneval", 197, 53, 0, 128023913366, 151166666666, 138049657993, 9959, 12083, 14032),
+        ("textdensity", "googlenews", 198, 52, 0, 133748524090, 154272727272, 142783450014, 10336, 12286, 13907),
+    ],
+    10000: [
+        ("justext_spark", "cleaneval", 139, 111, 0, 133043470709, 133216590207, 132166265771, 9000, 9512, 13664),
+        ("justext_spark", "googlenews", 135, 115, 0, 131516997098, 129117426985, 129670080334, 8779, 9065, 13501),
+        ("textdensity", "cleaneval", 199, 51, 0, 131570597340, 154488413546, 141460486883, 9973, 12064, 13664),
+        ("textdensity", "googlenews", 200, 50, 0, 129475690585, 149490566036, 137873269940, 9764, 11702, 13501),
+    ],
+}
+
+
+def _report_exact_sql() -> str:
+    rows = ",\n  ".join(
+        f"({n_ev}, '{ex}', '{ds}', CAST({n_ok} AS BIGINT), CAST({n_e} AS BIGINT), "
+        f"CAST({n_f} AS BIGINT), CAST({p} AS BIGINT), CAST({r} AS BIGINT), "
+        f"CAST({f1} AS BIGINT), CAST({mm} AS BIGINT), CAST({mr} AS BIGINT), "
+        f"CAST({mv} AS BIGINT))"
+        for n_ev, rs in _REPORT_EXACT_CONST.items()
+        for (ex, ds, n_ok, n_e, n_f, p, r, f1, mm, mr, mv) in rs
+    )
+    return f"""
+SELECT extractor, dataset, n_ok, n_empty, n_fail, sum_p_q9, sum_r_q9, sum_f1_q9,
+       micro_matched, micro_retrieved, micro_relevant
+FROM (VALUES
+  {rows}
+) t(n_events, extractor, dataset, n_ok, n_empty, n_fail, sum_p_q9, sum_r_q9,
+    sum_f1_q9, micro_matched, micro_retrieved, micro_relevant)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2455,4 +2522,5 @@ SQL_CHECKED = {
     "corpus_length_percentiles": (corpus_length_percentiles, _PERCENTILES_SQL),
     "corpus_length_histogram": (corpus_length_histogram, _HISTOGRAM_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, _Q5_SQL),
+    "extract_report_exact": (extract_report_exact, _report_exact_sql()),
 }
