@@ -203,3 +203,22 @@ def test_components_chain_converges(spark):
     got = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 41
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Empty corpora/edge lists must not crash the dedup tier — the
+    boundary a chunked 100 TB run hits whenever a chunk's filter
+    matches nothing."""
+    from text_extraction_evaluation_spark.operators.dedup import (
+        candidate_pairs,
+        connected_components,
+        minhash_band_rows,
+        verified_near_dup_pairs,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    bands = minhash_band_rows(empty_docs)
+    assert candidate_pairs(bands).count() == 0
+    assert verified_near_dup_pairs(empty_docs).count() == 0
+    empty_edges = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    assert connected_components(empty_edges).count() == 0
