@@ -238,3 +238,49 @@ def test_approx_count_distinct_sanity_counter(spark):
         F.countDistinct("url").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"]
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """The 100 TB skew story beyond salting: a join key holding most of
+    the probe side's mass gets split by AQE's skew-join handling at
+    runtime (OptimizeSkewedJoin), without any manual salting — assert
+    the skew annotation in the final adaptive plan and the exact row
+    count."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(200_000).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    )
+    cold = spark.range(2_000).select(
+        (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("payload")
+    )
+    # NO explicit repartition on the join key: AQE refuses to split a
+    # user-specified distribution, so skew handling only applies to the
+    # join's own shuffle (learned the hard way — a manual
+    # repartition(N, key) before a skewed join DISABLES the rescue;
+    # that is when the salting path in operators/extract.py applies)
+    left = hot.unionByName(cold)
+    right = spark.range(51).select(
+        (F.col("id") % 51).alias("k"), F.col("id").alias("payload_r")
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = left.join(right, "k").groupBy().count()
+        rows = joined.collect()  # executes THIS plan so AQE finalizes it
+        assert rows[0]["count"] == 202_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
