@@ -11,22 +11,18 @@ def _rows(df):
 
 
 def test_spark_sql_matches_dataframe_plans(spark):
-    from text_extraction_evaluation_spark.plans.queries import (
-        lang_distribution,
-        q_events_hourly,
-        q_nation_revenue,
-    )
+    """EVERY entry in SPARK_SQL_QUERIES is compared against the
+    registry DataFrame plan of the same name — no unverified SQL."""
+    from text_extraction_evaluation_spark.plans.queries import SQL_CHECKED
     from text_extraction_evaluation_spark.sources.sql_views import (
         SPARK_SQL_QUERIES,
         sql,
     )
 
-    for name, fn in [
-        ("q_nation_revenue", q_nation_revenue),
-        ("q_events_hourly", q_events_hourly),
-        ("lang_distribution", lang_distribution),
-    ]:
-        got = _rows(sql(spark, SF0001, SPARK_SQL_QUERIES[name]))
+    assert set(SPARK_SQL_QUERIES) <= set(SQL_CHECKED)
+    for name, query in SPARK_SQL_QUERIES.items():
+        fn, _oracle = SQL_CHECKED[name]
+        got = _rows(sql(spark, SF0001, query))
         want = _rows(fn(spark, SF0001))
         assert got == want, name
 

@@ -162,11 +162,13 @@ def verified_near_dup_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
+    # threshold on the UNROUNDED jaccard (like the oracle SQL's WHERE);
+    # rounding is display-only
     return (
         cands.join(a, "doc_id_a")
         .join(b, "doc_id_b")
+        .filter(jac >= threshold)
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
 
 

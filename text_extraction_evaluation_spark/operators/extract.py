@@ -60,12 +60,13 @@ def salted_repartition(pages: DataFrame, num_partitions: int, salt: int = 8) -> 
     )
 
 
-def extract_pages(
-    pages: DataFrame,
-    params: JustextParams = DEFAULT_PARAMS,
-    stoplists: dict[str, frozenset[str]] | None = None,
-) -> DataFrame:
-    """pages(url, warc_ts, html, lang, ...) -> extracted rows + lineage cols."""
+def _extraction_kernel(pages: DataFrame, extract_fn) -> DataFrame:
+    """Shared kernel plumbing for every extractor: pruned input, Arrow
+    batches, per-partition lineage ride-alongs (pid/bytes_in/t_unix),
+    EXTRACT_SCHEMA output. ``extract_fn(raw, lang) -> ExtractionResult``
+    is the only per-extractor piece — jusText and textdensity must stay
+    schema- and lineage-identical because extractor_ranking unions
+    their scored outputs."""
     pruned = pages.select("url", "warc_ts", "html", "lang")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -84,7 +85,7 @@ def extract_pages(
             }
             bytes_in = []
             for raw, lang in zip(pdf["html"], pdf["lang"], strict=True):
-                res = extract_bytes(raw, lang, params, stoplists)
+                res = extract_fn(raw, lang)
                 out["text"].append(res.text)
                 out["n_paragraphs"].append(res.n_paragraphs)
                 out["n_good"].append(res.n_good)
@@ -102,6 +103,17 @@ def extract_pages(
             )
 
     return pruned.mapInPandas(kernel, EXTRACT_SCHEMA)
+
+
+def extract_pages(
+    pages: DataFrame,
+    params: JustextParams = DEFAULT_PARAMS,
+    stoplists: dict[str, frozenset[str]] | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, lang, ...) -> extracted rows + lineage cols."""
+    return _extraction_kernel(
+        pages, lambda raw, lang: extract_bytes(raw, lang, params, stoplists)
+    )
 
 
 def extracted_clean(extracted: DataFrame) -> DataFrame:
@@ -141,47 +153,13 @@ def extract_spans(
 
 def extract_pages_density(pages: DataFrame) -> DataFrame:
     """Second extractor (densometric WSDM-2010 rules,
-    algo/textdensity.py) through the identical kernel plumbing —
-    pruned input, Arrow batches, lineage ride-alongs — so the
+    algo/textdensity.py) through the identical kernel plumbing, so the
     evaluation layer can rank extractors like the reference harness."""
     from ..algo.textdensity import extract_bytes_density
 
-    pruned = pages.select("url", "warc_ts", "html", "lang")
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else -1
-        for pdf in batches:
-            out = {
-                "url": pdf["url"],
-                "warc_ts": pdf["warc_ts"],
-                "lang": pdf["lang"],
-                "text": [],
-                "n_paragraphs": [],
-                "n_good": [],
-                "status": [],
-                "err": [],
-            }
-            bytes_in = []
-            for raw in pdf["html"]:
-                res = extract_bytes_density(raw)
-                out["text"].append(res.text)
-                out["n_paragraphs"].append(res.n_paragraphs)
-                out["n_good"].append(res.n_good)
-                out["status"].append(res.status)
-                out["err"].append(res.err)
-                bytes_in.append(len(raw))
-            now = time.time()
-            yield pd.DataFrame(
-                {
-                    **out,
-                    "pid": pd.Series([pid] * len(pdf), dtype="int32"),
-                    "bytes_in": pd.Series(bytes_in, dtype="int64"),
-                    "t_unix": pd.Series([now] * len(pdf), dtype="float64"),
-                }
-            )
-
-    return pruned.mapInPandas(kernel, EXTRACT_SCHEMA)
+    return _extraction_kernel(
+        pages, lambda raw, _lang: extract_bytes_density(raw)
+    )
 
 
 def latest_crawl(pages: DataFrame) -> DataFrame:

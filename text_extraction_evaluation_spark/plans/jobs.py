@@ -134,14 +134,23 @@ def run_extraction_job(
         for chunk_buckets, chunk_id in pending:
             do_chunk(chunk_buckets, chunk_id)
     else:
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
         with ThreadPoolExecutor(max_workers=max_concurrent_chunks) as pool:
             futures = [pool.submit(do_chunk, b, cid) for b, cid in pending]
-            errs = [f.exception() for f in futures]
-        for e in errs:
-            if e is not None:
-                raise e
+            done, not_done = wait(futures, return_when=FIRST_EXCEPTION)
+            # fail fast: on the first chunk error, cancel everything
+            # still queued (in-flight chunks finish their commit — the
+            # manifest stays consistent; a 1000-chunk run must not burn
+            # hours completing a doomed job)
+            first_err = next(
+                (f.exception() for f in done if f.exception() is not None), None
+            )
+            if first_err is not None:
+                for f in not_done:
+                    f.cancel()
+        if first_err is not None:
+            raise first_err
     return cat
 
 

@@ -570,11 +570,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # threshold on the UNROUNDED value (matching the SQL twin's WHERE);
+    # rounding is display-only — filtering the rounded value would
+    # disagree with the oracle for jaccard in [0.7999995, 0.8)
     return (
         co.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
+        .filter(jac >= 0.8)
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
     )
 
 
@@ -593,12 +596,12 @@ def dedup_ngram_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter.cast("double") / union
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.8)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.8)
     )
 
 

@@ -87,8 +87,15 @@ class LocalCatalog:
             manifest = self._load_manifest(table)
             if chunk_id in manifest["chunks"]:
                 return False
+            # monotonic commit sequence: wall-clock alone cannot order
+            # two commits inside one clock tick (concurrent chunks) or
+            # across a clock step — time travel sorts on seq
+            seq = 1 + max(
+                (c.get("seq", 0) for c in manifest["chunks"].values()), default=0
+            )
             manifest["chunks"][chunk_id] = {
                 "path": path,
+                "seq": seq,
                 "committed_at_unix": time.time(),
                 **(meta or {}),
             }
@@ -108,7 +115,10 @@ class LocalCatalog:
         chunks = self.committed_chunks(table)
         if not chunks:
             return None
-        ordered = sorted(chunks.values(), key=lambda c: c["committed_at_unix"])
+        ordered = sorted(
+            chunks.values(),
+            key=lambda c: (c.get("seq", 0), c["committed_at_unix"]),
+        )
         if as_of is not None:
             ordered = ordered[: max(0, as_of)]
             if not ordered:

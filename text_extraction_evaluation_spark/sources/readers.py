@@ -95,11 +95,16 @@ def _docs(
     # dense 0..N-1 doc_ids — asserted below (once per sf_dir, cached:
     # a non-dense corpus would silently drop replicas otherwise).
     if sf_dir not in _N_BASE_CACHE:
-        n, max_id = docs.agg(F.count(F.lit(1)), F.max("doc_id")).first()
-        if max_id != n - 1:
+        n, n_distinct, min_id, max_id = docs.agg(
+            F.count(F.lit(1)), F.countDistinct("doc_id"),
+            F.min("doc_id"), F.max("doc_id"),
+        ).first()
+        # density needs all three: no duplicates, min 0, max N-1 —
+        # max==N-1 alone passes corpora with duplicates + gaps
+        if n_distinct != n or min_id != 0 or max_id != n - 1:
             raise ValueError(
                 f"replication requires dense doc_ids 0..N-1; {sf_dir} has "
-                f"N={n} but max(doc_id)={max_id}"
+                f"N={n}, distinct={n_distinct}, min={min_id}, max={max_id}"
             )
         _N_BASE_CACHE[sf_dir] = n
     n_base = _N_BASE_CACHE[sf_dir]

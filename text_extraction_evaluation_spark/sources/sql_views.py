@@ -52,10 +52,10 @@ SPARK_SQL_QUERIES: dict[str, str] = {
                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         FROM events GROUP BY 1, 2
     """,
-    "dedup_exact_fingerprints": """
-        SELECT md5(lower(regexp_replace(trim(text), '\\\\s+', ' '))) AS fingerprint,
-               COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
-        FROM documents GROUP BY 1
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\\\s+', ' '))) AS fingerprint
+        FROM documents
     """,
     "lang_distribution": """
         SELECT lang, COUNT(*) AS n_docs,

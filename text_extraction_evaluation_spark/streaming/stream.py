@@ -149,8 +149,11 @@ def sessionize_events_stream(
             return
         n, t_first, t_last = state.get if state.exists else (0, None, None)
         rows = []
+        # pd.notna, not `is not None`: null timestamps in a datetime64
+        # Series iterate as pd.NaT, whose epoch math would fabricate an
+        # ancient event and a bogus session split
         ts_sorted = sorted(
-            t for pdf in pdfs if len(pdf) for t in pdf["ts"] if t is not None
+            t for pdf in pdfs if len(pdf) for t in pdf["ts"] if pd.notna(t)
         )
         # gap compares FLOORED epoch seconds — the exact rule of the
         # batch twin (floor(epoch(ts)) - floor(epoch(lag)) > gap)
