@@ -2221,6 +2221,48 @@ FROM documents GROUP BY 1, 2
 """
 
 
+_PIVOT_SOURCES = ["src0", "src1", "src2", "src3"]
+
+
+def lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: doc counts per language with one column per
+    (fixed, enumerated) source — ``pivot(col, values)`` with explicit
+    values keeps the plan a single pass (no extra distinct-values job)
+    and is the only scalable form at 100 TB; the long-tail stays in
+    n_other. The oracle replays it as conditional aggregation (what a
+    pivot lowers to)."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    wide = (
+        docs.groupBy("lang")
+        .pivot("source", _PIVOT_SOURCES)
+        .agg(F.count(F.lit(1)))
+    )
+    for s in _PIVOT_SOURCES:
+        wide = wide.withColumnRenamed(s, f"n_{s}").withColumn(
+            f"n_{s}", F.coalesce(F.col(f"n_{s}"), F.lit(0))
+        )
+    other = docs.filter(~F.col("source").isin(_PIVOT_SOURCES)).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_other")
+    )
+    return wide.join(other, "lang", "left").withColumn(
+        "n_other", F.coalesce("n_other", F.lit(0))
+    )
+
+
+def _pivot_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{s}"
+        for s in _PIVOT_SOURCES
+    )
+    not_in = ", ".join(f"'{s}'" for s in _PIVOT_SOURCES)
+    return f"""
+SELECT lang,
+       {cols},
+       CAST(SUM(CASE WHEN source NOT IN ({not_in}) THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM documents GROUP BY lang
+"""
+
+
 def kmeans_embeddings(
     spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
 ) -> DataFrame:
@@ -2526,4 +2568,5 @@ SQL_CHECKED = {
     "corpus_length_histogram": (corpus_length_histogram, _HISTOGRAM_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, _Q5_SQL),
     "extract_report_exact": (extract_report_exact, _report_exact_sql()),
+    "lang_source_pivot": (lang_source_pivot, _pivot_sql()),
 }
