@@ -2221,6 +2221,67 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def ann_quality_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: similarity search restricted to documents
+    that pass the C4-style quality gate — the embed-then-filter shape a
+    training-data mix actually runs (corpus gate -> LEFT SEMI join onto
+    the embedding table on vec_id == doc_id -> exact cosine top-k).
+    The semi join prunes the scan side BEFORE the distance work."""
+    from ..operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tok = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    ).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS_SORTED))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    keep_ids = docs.filter(
+        (n_tok >= 50) & (mean_len >= 3.0) & (mean_len <= 10.0) & (stop_ratio >= 0.05)
+    ).select(F.col("doc_id").alias("vec_id"))
+    emb = _t(spark, sf_dir, "embeddings").join(keep_ids, "vec_id", "left_semi")
+    r = brute_force_topk(emb, list(range(10)), k=5)
+    return r.select(
+        "query_id", "neighbor_id", "nn_rank", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+_ANN_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, len(toks) AS n_tok,
+           CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS mean_len,
+           CAST(len(list_filter(toks, w -> list_contains([{_STOP_SQL}], lower(w)))) AS DOUBLE) / len(toks) AS stop_ratio
+    FROM t
+  ) WHERE n_tok >= 50 AND mean_len >= 3.0 AND mean_len <= 10.0 AND stop_ratio >= 0.05
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM keep)
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
+), s AS (
+  SELECT query_id, n.vec_id AS neighbor_id,
+         list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN n ON n.vec_id <> query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+  FROM s
+)
+SELECT query_id, neighbor_id, nn_rank, ROUND(cos, 4) AS cos_sim
+FROM r WHERE nn_rank <= 5
+"""
+
+
 _PIVOT_SOURCES = ["src0", "src1", "src2", "src3"]
 
 
@@ -2569,4 +2630,5 @@ SQL_CHECKED = {
     "q5_local_supplier_volume": (q5_local_supplier_volume, _Q5_SQL),
     "extract_report_exact": (extract_report_exact, _report_exact_sql()),
     "lang_source_pivot": (lang_source_pivot, _pivot_sql()),
+    "ann_quality_filtered_topk": (ann_quality_filtered_topk, _ANN_QUALITY_SQL),
 }
