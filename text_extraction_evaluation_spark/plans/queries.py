@@ -2221,6 +2221,32 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column surface (§2.10): parse the JSON props into
+    map<string,string>, explode, and census keys per event type —
+    from_json + explode(map) stay whole-stage-codegen'd JVM ops."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select("event_type", F.explode(m).alias("prop_key", "prop_value"))
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("prop_value").alias("n_distinct_values"),
+        )
+    )
+
+
+_EVENTS_PROPS_MAP_SQL = """
+SELECT event_type, prop_key, COUNT(*) AS n,
+       COUNT(DISTINCT json_extract_string(props, '$.' || prop_key)) AS n_distinct_values
+FROM (
+  SELECT event_type, props, unnest(json_keys(props)) AS prop_key FROM events
+)
+GROUP BY 1, 2
+"""
+
+
 def ann_quality_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline composition: similarity search restricted to documents
     that pass the C4-style quality gate — the embed-then-filter shape a
@@ -2631,4 +2657,5 @@ SQL_CHECKED = {
     "extract_report_exact": (extract_report_exact, _report_exact_sql()),
     "lang_source_pivot": (lang_source_pivot, _pivot_sql()),
     "ann_quality_filtered_topk": (ann_quality_filtered_topk, _ANN_QUALITY_SQL),
+    "q_events_props_map": (q_events_props_map, _EVENTS_PROPS_MAP_SQL),
 }
