@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the pure algorithmic
+primitives — the invariants the equi-join plans rely on."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# mirror of plans/queries._SIMHASH_BANDS
+_BANDS = [(0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 6)]
+
+
+def _band_vals(x: int) -> list[int]:
+    return [(x >> off) & ((1 << width) - 1) for off, width in _BANDS]
+
+
+@given(st.integers(0, (1 << 48) - 1), st.sets(st.integers(0, 47), max_size=6))
+@settings(max_examples=500, deadline=None)
+def test_simhash_banding_is_exact_for_hamming_le_6(x, flip_bits):
+    """Pigeonhole: any y within Hamming distance 6 of x shares at least
+    one band value — the property that makes the banded equi-join plan
+    EXACT, not approximate."""
+    y = x
+    for b in flip_bits:
+        y ^= 1 << b
+    assert any(a == c for a, c in zip(_band_vals(x), _band_vals(y)))
+
+
+@given(st.integers(0, (1 << 48) - 1), st.sets(st.integers(0, 47), min_size=7, max_size=48))
+@settings(max_examples=200, deadline=None)
+def test_simhash_band_values_differ_iff_bits_differ(x, flip_bits):
+    """Sanity inverse: flipping >=7 bits CAN dirty every band (the
+    bound is tight), and flipping none keeps all bands equal."""
+    assert _band_vals(x) == _band_vals(x)
+    y = x
+    for b in flip_bits:
+        y ^= 1 << b
+    # not asserting all-differ (depends on placement) — only that the
+    # exactness claim is limited to <= 6: verify hamming really is >6
+    assert bin(x ^ y).count("1") >= 7
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_shingle_set_matches_naive(words):
+    from text_extraction_evaluation_spark.operators.dedup import _shingle_set
+
+    text = " ".join(words)
+    w = text.split()
+    naive = {" ".join(w[i : i + 3]) for i in range(max(0, len(w) - 2))}
+    got = _shingle_set(text)
+    assert set(got) == naive
+    assert len(got) == len(set(got))  # distinct, order-preserving
+
+
+@given(st.integers(1, 10_000), st.sampled_from(["second", "minute", "hour"]), st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_interval_parse_roundtrip(n, unit, plural):
+    from text_extraction_evaluation_spark.streaming.stream import _parse_interval_ms
+
+    s = f"{n} {unit}{'s' if plural else ''}"
+    mult = {"second": 1, "minute": 60, "hour": 3600}[unit]
+    assert _parse_interval_ms(s) == n * mult * 1000
+
+
+@given(st.lists(st.integers(0, 3_600_000), min_size=1, max_size=60), st.integers(1, 600))
+@settings(max_examples=200, deadline=None)
+def test_gap_sessionize_invariants(offsets_s, gap_s):
+    """Pure-python twin of the fold's gap split: sessions partition the
+    events; within-session consecutive gaps <= gap; between-session
+    gaps > gap (on sorted input)."""
+    ts = sorted(offsets_s)
+    sessions: list[list[int]] = []
+    cur: list[int] = []
+    for t in ts:
+        if cur and t - cur[-1] > gap_s:
+            sessions.append(cur)
+            cur = []
+        cur.append(t)
+    sessions.append(cur)
+    assert sum(len(s) for s in sessions) == len(ts)
+    for s in sessions:
+        assert all(b - a <= gap_s for a, b in zip(s, s[1:]))
+    for s1, s2 in zip(sessions, sessions[1:]):
+        assert s2[0] - s1[-1] > gap_s
+
+
+@given(st.integers(1, 10**12))
+@settings(max_examples=300, deadline=None)
+def test_sign_lsh_bits_occupancy_rule(n):
+    from text_extraction_evaluation_spark.plans.queries import (
+        EMB_LSH_TARGET_OCCUPANCY,
+        sign_lsh_bits,
+    )
+
+    bits = sign_lsh_bits(n)
+    assert bits >= 1
+    # the rule's guarantee: expected occupancy at the chosen bits is
+    # <= target (for corpora above the minimum)
+    if n > 2 * EMB_LSH_TARGET_OCCUPANCY:
+        assert n / (1 << bits) <= EMB_LSH_TARGET_OCCUPANCY
