@@ -284,3 +284,17 @@ def test_aqe_splits_planted_skew_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_range_join_is_banded_equijoin(spark):
+    """The banded range join must plan the candidate step as an
+    equi-join on (user_id, bin) — the raw interval predicate alone
+    would be a nested-loop join."""
+    from text_extraction_evaluation_spark.plans.queries import q_events_range_join
+
+    plan = plan_of(q_events_range_join(spark, SF0001))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )

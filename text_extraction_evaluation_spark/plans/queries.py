@@ -1256,6 +1256,53 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: clicks within the hour preceding each
+    purchase, per user. Spark plans a raw ``c.ts BETWEEN p.ts - 1h AND
+    p.ts`` predicate as a nested loop; the scalable form BINS time into
+    hour buckets — a 1-hour lookback spans at most 2 bins, so each
+    purchase explodes to its 2 candidate bins, candidates come from an
+    EQUI-join on (user_id, bin), and the exact interval filter refines.
+    Exact: every qualifying click's bin is one of the two probed bins,
+    and each (purchase, click) pair matches in exactly one bin (the
+    click's own), so no dedup is needed."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    hour_bin = (F.col("ts").cast("timestamp").cast("long") / 3600).cast("long")
+    cbin = (F.col("cts").cast("timestamp").cast("long") / 3600).cast("long")
+    pb = purchases.withColumn(
+        "bin", F.explode(F.array(hour_bin - 1, hour_bin))
+    )
+    cand = pb.join(clicks.withColumn("bin", cbin), ["user_id", "bin"]).filter(
+        (F.col("cts") <= F.col("ts"))
+        & (F.col("cts") > F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    agg = cand.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+    return (
+        purchases.join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
+        )
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT p.event_id, p.user_id, COUNT(c.cts) AS n_clicks_1h
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.cts <= p.ts AND c.cts > p.ts - INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours: the scale path past
     brute-force (`ann_cosine_topk`) and RP-LSH (`ann_lsh_topk`).
@@ -2658,4 +2705,5 @@ SQL_CHECKED = {
     "lang_source_pivot": (lang_source_pivot, _pivot_sql()),
     "ann_quality_filtered_topk": (ann_quality_filtered_topk, _ANN_QUALITY_SQL),
     "q_events_props_map": (q_events_props_map, _EVENTS_PROPS_MAP_SQL),
+    "q_events_range_join": (q_events_range_join, _RANGE_JOIN_SQL),
 }
