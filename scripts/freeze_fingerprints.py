@@ -16,9 +16,15 @@ fingerprints that plans/queries.py freezes as oracle-SQL constants:
   plus floor(1e9 * metric) sums for the six P/R/F1 doubles
 * status_counts             — literal (extractor, dataset, status, n)
 
-The constants are derived from the ORACLE (the independent
-implementation the parity suite pins), never from the Spark pipeline —
-a Spark regression therefore shows up as a driver hash mismatch.
+The constants are derived from the single-process oracle, never from
+the Spark pipeline. Honest scope (matching oracle/run_oracle.py): the
+oracle imports the same algo/ modules (justext, textdensity, metrics)
+that the Spark kernels execute, so these gates pin DISTRIBUTION-LAYER
+parity — partitioning, Arrow batching, schema, join/agg plumbing — not
+independent algorithmic correctness. Algorithm-level behavior is pinned
+separately by the rule-level unit tests (tests/test_justext_rules.py,
+tests/test_metrics.py) and the hand-built golden cases in
+tests/golden/.
 
 Usage: python scripts/freeze_fingerprints.py
 """

@@ -222,3 +222,40 @@ def test_operators_tolerate_empty_input(spark):
     assert verified_near_dup_pairs(empty_docs).count() == 0
     empty_edges = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
     assert connected_components(empty_edges).count() == 0
+
+
+def test_hot_key_caps_bound_pair_blowup(spark, tmp_path):
+    """Planted hot key: a boilerplate clique larger than the df cap
+    must NOT emit its O(k^2) pairs from the exact sketch equi-joins
+    (dedup_ngram_jaccard / doc_containment), while genuinely
+    overlapping documents still pair through their cold keys."""
+    from text_extraction_evaluation_spark.plans.queries import (
+        NGRAM_MAX_DF,
+        dedup_ngram_jaccard,
+        doc_containment,
+    )
+
+    n_hot = NGRAM_MAX_DF + 44  # clique over the cap: 44850 pairs uncapped
+    boiler = "subscribe to our newsletter click here for daily updates now " * 2
+    rows = [(i, boiler.strip(), "en", "src0") for i in range(n_hot)]
+    uniq = [f"uniq{i}" for i in range(120)]
+    ua = " ".join(uniq)
+    ub = " ".join(uniq[:119]) + " other"
+    rows += [(10_000, ua, "en", "src0"), (10_001, ub, "en", "src0")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    jac = dedup_ngram_jaccard(spark, sf_dir).collect()
+    jac_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in jac}
+    assert (10_000, 10_001) in jac_pairs  # cold-key overlap survives
+    assert all(a >= 10_000 for a, _ in jac_pairs)  # hot clique suppressed
+    assert len(jac) < 10  # vs C(300, 2) = 44850 without the cap
+
+    cont = doc_containment(spark, sf_dir).collect()
+    cont_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in cont}
+    assert (10_000, 10_001) in cont_pairs
+    assert all(a >= 10_000 for a, _ in cont_pairs)
+    assert len(cont) < 10

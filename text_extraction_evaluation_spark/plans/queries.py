@@ -539,23 +539,50 @@ FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
+# Hot-key caps for the exact sketch equi-joins: a key (shingle /
+# winnowing fingerprint) shared by k documents emits O(k^2) join rows;
+# keys above these document frequencies are boilerplate, not signal,
+# and are dropped from both the index and the size terms (mirrored in
+# the oracle SQL, so the check is exact over the capped universe).
+NGRAM_MAX_DF = 256
+CONTAINMENT_MAX_DF = 256
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 3-word-shingle Jaccard >= 0.8 pairs via an inverted index:
     explode (doc_id, shingle), EQUI-join on the shingle, count shared
     shingles per pair (intersection), then join back the set sizes for
     the union term. Any pair with Jaccard > 0 shares a shingle, so this
-    is exact — and it shuffles on shingle keys instead of the O(n^2)
-    nested-loop self-join (dedup_ngram_jaccard_brute, the test twin).
-    Residual scale hazard: a shingle present in k docs contributes
-    O(k^2) join rows — boilerplate shingles are the skew; at 100 TB
-    route through dedup_minhash_verified (candidates-only) or apply a
-    prefix filter. The fixture corpus has no hot shingles."""
+    is exact over the RETAINED shingle universe — and it shuffles on
+    shingle keys instead of the O(n^2) nested-loop self-join
+    (dedup_ngram_jaccard_brute, the test twin).
+
+    Hot-key cap: a shingle present in k docs contributes O(k^2) join
+    rows — boilerplate shingles ("click here to subscribe") are the
+    skew at 100 TB. Shingles with document frequency > NGRAM_MAX_DF
+    are dropped from BOTH the inverted index AND the set-size term, so
+    the result is exactly "Jaccard over shingles with df <= cap" — the
+    standard stop-shingle / prefix-filter semantic, mirrored in the
+    oracle SQL. The hot set is tiny by construction (<= total
+    shingle-instances / cap keys), hence the broadcast anti-join. The
+    fixture corpus has no hot shingles, so the cap is semantics-
+    preserving there; tests/test_dedup.py plants a hot shingle and
+    asserts the bounded pair count."""
     docs = _docs_par(spark, sf_dir)
     sh = docs.select(
         "doc_id", word_shingles(tokens_col("text")).alias("sh")
     ).filter(F.size("sh") > 0)
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
     inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    hot = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_MAX_DF)
+        .select("s")
+    )
+    inv = inv.join(F.broadcast(hot), "s", "left_anti")
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).select(
+        "doc_id", "n"
+    )
     a, b = inv.alias("a"), inv.alias("b")
     co = (
         a.join(
@@ -605,20 +632,32 @@ def dedup_ngram_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_SQL = """
+_JACCARD_SQL = f"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
 ), sh AS (
   SELECT doc_id,
-         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sl
   FROM t WHERE len(w) >= 3
+), inv AS (
+  SELECT doc_id, unnest(sl) AS s FROM sh
+), cold AS (
+  SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_DF}
+), inv2 AS (
+  SELECT inv.doc_id, inv.s FROM inv JOIN cold USING (s)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM inv2 GROUP BY doc_id
+), co AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS inter
+  FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+SELECT doc_id_a, doc_id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM co
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
 """
 
 
@@ -775,10 +814,24 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |fps_b|) — the standard copy/containment estimate (MOSS-style) from
     the compact sketch. EQUI-join on the fingerprint, never an
     all-pairs comparison; at 100 TB the sketch (1-in-8 of 5-gram
-    hashes) is what ships to the shuffle, not documents."""
+    hashes) is what ships to the shuffle, not documents.
+
+    Hot-key cap (same pattern as dedup_ngram_jaccard): a fingerprint
+    shared by k docs emits O(k^2) join rows; fingerprints with document
+    frequency > CONTAINMENT_MAX_DF are boilerplate and are dropped from
+    both the join and the size terms via a broadcast anti-join — the
+    oracle SQL applies the identical cap, so the check stays exact over
+    the capped sketch universe."""
     from ..operators.textstats import rolling_fingerprints
 
     fps = rolling_fingerprints(_docs_par(spark, sf_dir), window=5, keep_mod=8)
+    hot = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > CONTAINMENT_MAX_DF)
+        .select("fingerprint")
+    )
+    fps = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fps.alias("a"), fps.alias("b")
     shared = (
@@ -805,8 +858,13 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAINMENT_SQL = f"""
-WITH fp AS ({_ROLLING_FP_SQL}),
-sizes AS (
+WITH fp0 AS ({_ROLLING_FP_SQL}),
+cold AS (
+  SELECT fingerprint FROM fp0 GROUP BY fingerprint
+  HAVING COUNT(*) <= {CONTAINMENT_MAX_DF}
+), fp AS (
+  SELECT fp0.doc_id, fp0.fingerprint FROM fp0 JOIN cold USING (fingerprint)
+), sizes AS (
   SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id
 ), shared AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_shared
@@ -851,6 +909,56 @@ reach(src, node) AS (
   FROM reach r JOIN pairs p ON r.node IN (p.doc_id_a, p.doc_id_b)
 )
 SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src
+"""
+
+
+def dedup_keep_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup DELIVERABLE, end-to-end: run the full near-dup
+    removal (MinHash-LSH candidates -> exact-Jaccard verification ->
+    connected components -> keep min-id per component, i.e.
+    operators.dedup.dedup_keep_list) and census the surviving corpus
+    per language — kept / dropped / total counts. One left join of the
+    tiny drop list onto the corpus, then a hash aggregate; at 100 TB
+    the drop list is the only extra shuffle beyond the pair pipeline.
+    Oracle: recursive-CTE connected components over the same verified
+    pair graph."""
+    from ..operators.dedup import dedup_keep_list
+
+    docs = _docs_par(spark, sf_dir)
+    kept = dedup_keep_list(docs, threshold=0.8, method="components")
+    return (
+        docs.select("doc_id", "lang")
+        .join(kept.select("doc_id", F.lit(1).alias("k")), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.coalesce("k", F.lit(0))).alias("n_kept"),
+        )
+        .withColumn("n_dropped", F.col("n_total") - F.col("n_kept"))
+    )
+
+
+def _keep_census_sql() -> str:
+    pairs = _minhash_verified_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+reach(src, node) AS (
+  SELECT doc_id_a, doc_id_a FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_b FROM pairs
+  UNION
+  SELECT r.src,
+         CASE WHEN p.doc_id_a = r.node THEN p.doc_id_b ELSE p.doc_id_a END
+  FROM reach r JOIN pairs p ON r.node IN (p.doc_id_a, p.doc_id_b)
+),
+comp AS (SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src),
+drops AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+SELECT d.lang,
+       COUNT(*) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE dr.doc_id IS NULL) AS BIGINT) AS n_kept,
+       CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+GROUP BY d.lang
 """
 
 
@@ -2284,12 +2392,20 @@ def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JSON -> MAP(VARCHAR,VARCHAR) cast (true key/value pairs), not a
+# '$.' || key path rebuild: a path string breaks for keys containing
+# '.', quotes, or brackets, so the twin would silently depend on
+# fixture key shapes (ADVICE r2). The MAP cast mirrors Spark's
+# from_json map<string,string> (scalar values unquoted, nested values
+# as JSON text).
 _EVENTS_PROPS_MAP_SQL = """
-SELECT event_type, prop_key, COUNT(*) AS n,
-       COUNT(DISTINCT json_extract_string(props, '$.' || prop_key)) AS n_distinct_values
+SELECT event_type, u.entry.key AS prop_key, COUNT(*) AS n,
+       COUNT(DISTINCT u.entry.value) AS n_distinct_values
 FROM (
-  SELECT event_type, props, unnest(json_keys(props)) AS prop_key FROM events
-)
+  SELECT event_type,
+         unnest(map_entries(CAST(props::JSON AS MAP(VARCHAR, VARCHAR)))) AS entry
+  FROM events
+) u
 GROUP BY 1, 2
 """
 
@@ -2670,6 +2786,7 @@ SQL_CHECKED = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_minhash_verified": (dedup_minhash_verified, _minhash_verified_sql()),
     "dedup_components": (dedup_components, _components_sql()),
+    "dedup_keep_census": (dedup_keep_census, _keep_census_sql()),
     "doc_rolling_fingerprints": (doc_rolling_fingerprints, _ROLLING_FP_SQL),
     "dedup_simhash": (dedup_simhash, _simhash_sql(pairs=False)),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_sql(pairs=True)),

@@ -76,17 +76,33 @@ class LocalCatalog:
         meta: dict[str, Any] | None = None,
     ) -> bool:
         """Write ``df`` as one chunk and commit it. Returns False if the
-        chunk was already committed (idempotent re-run)."""
+        chunk was already committed (idempotent re-run).
+
+        The parquet write goes to a caller-unique staging directory and
+        is RENAMED to the committed path inside the manifest lock: two
+        concurrent callers with the same chunk_id would otherwise race
+        on the final directory, and the manifest winner could end up
+        holding the loser's half-written files (ADVICE r2). The rename
+        is a same-filesystem directory move, so the committed path
+        appears atomically; the losing staging dir is discarded."""
+        import shutil
+        import uuid
+
         if self.is_committed(table, chunk_id):
             return False
         path = self.chunk_path(table, chunk_id)
-        # overwrite: a previous FAILED attempt may have left partial
-        # files; they were never committed, so clobbering is safe
-        df.write.mode("overwrite").parquet(path)
+        staging = f"{path}.staging-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(staging)
         with self._commit_lock:
             manifest = self._load_manifest(table)
             if chunk_id in manifest["chunks"]:
+                shutil.rmtree(staging, ignore_errors=True)
                 return False
+            # a previous FAILED attempt may have left partial files at
+            # the final path; they were never committed, so clobbering
+            # is safe
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(staging, path)
             # monotonic commit sequence: wall-clock alone cannot order
             # two commits inside one clock tick (concurrent chunks) or
             # across a clock step — time travel sorts on seq

@@ -70,7 +70,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _REPLICA_STRIDE = 10_000_000  # divisible by 16 and 20: preserves the
 # template-variant and second-crawl selectors of the base doc_id
 
-_N_BASE_CACHE: dict[str, int] = {}  # sf_dir -> verified dense row count
+# (sf_dir, mtime_ns, size) -> verified dense row count. Keying on the
+# documents.parquet stat (not sf_dir alone) invalidates the cache when
+# a fixture is rewritten in-process — a stale count would silently
+# reintroduce the dropped-replica bug the density check guards against
+# (ADVICE r2). Guarded by a lock for concurrent bench threads.
+_N_BASE_CACHE: dict[tuple[str, int, int], int] = {}
+_N_BASE_LOCK = __import__("threading").Lock()
+
+
+def _docs_cache_key(sf_dir: str) -> tuple[str, int, int]:
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        mtime, size = st.st_mtime_ns, st.st_size
+        if os.path.isdir(p):  # Spark-written dataset: stat the parts too
+            for f in sorted(os.listdir(p)):
+                s = os.stat(os.path.join(p, f))
+                mtime = max(mtime, s.st_mtime_ns)
+                size += s.st_size
+    except OSError:
+        mtime, size = -1, -1
+    return (sf_dir, mtime, size)
 
 
 def _docs(
@@ -94,7 +115,10 @@ def _docs(
     # base_id = id % N reproduces the exact explode row set ONLY for
     # dense 0..N-1 doc_ids — asserted below (once per sf_dir, cached:
     # a non-dense corpus would silently drop replicas otherwise).
-    if sf_dir not in _N_BASE_CACHE:
+    key = _docs_cache_key(sf_dir)
+    with _N_BASE_LOCK:
+        n_base = _N_BASE_CACHE.get(key)
+    if n_base is None:
         n, n_distinct, min_id, max_id = docs.agg(
             F.count(F.lit(1)), F.countDistinct("doc_id"),
             F.min("doc_id"), F.max("doc_id"),
@@ -106,8 +130,9 @@ def _docs(
                 f"replication requires dense doc_ids 0..N-1; {sf_dir} has "
                 f"N={n}, distinct={n_distinct}, min={min_id}, max={max_id}"
             )
-        _N_BASE_CACHE[sf_dir] = n
-    n_base = _N_BASE_CACHE[sf_dir]
+        with _N_BASE_LOCK:
+            _N_BASE_CACHE[key] = n
+        n_base = n
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     rng = spark.range(0, n_base * replicate, 1, n_parts)
     pairs = rng.select(

@@ -147,7 +147,8 @@ def sessionize_events_stream(
             state.remove()
             yield pd.DataFrame([(user_id, n, t_first, t_last, True)], columns=cols)
             return
-        n, t_first, t_last = state.get if state.exists else (0, None, None)
+        had_state = state.exists
+        n, t_first, t_last = state.get if had_state else (0, None, None)
         rows = []
         # pd.notna, not `is not None`: null timestamps in a datetime64
         # Series iterate as pd.NaT, whose epoch math would fabricate an
@@ -175,6 +176,12 @@ def sessionize_events_stream(
             else:
                 rows.append((user_id, n, t_first, t_last, True))
                 n, t_first, t_last = 1, t, t
+        if not had_state and t_last is None:
+            # every row in this batch had a null ts and there is no
+            # open session: updating state here would emit a bogus
+            # progress row and later a closed session with 0 events
+            # and null timestamps (ADVICE r2)
+            return
         state.update((n, t_first, t_last))
         # event-time gap anchor: the session closes gap after its LAST
         # EVENT (never before the watermark — Spark requires timeout
