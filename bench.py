@@ -22,10 +22,54 @@ def _noop_write(df) -> int:
     return 0
 
 
+def _host_capacity(seconds: float = 2.0) -> float:
+    """Host-capacity probe (same burn as scripts/scaling_bench.py):
+    aggregate ops/s of a 32-process pure-Python loop, run in a clean
+    subprocess (no Spark state). This sandbox is co-tenant virtualized
+    hardware whose capacity oscillates on a ~10-minute timescale; the
+    probe result is the noise DENOMINATOR for cross-round comparisons
+    of the absolute throughput numbers below — a bench run taken in a
+    degraded epoch shows a proportionally lower probe value. Identical
+    code across rounds, so probe ratios == capacity ratios."""
+    import subprocess
+
+    code = r"""
+import multiprocessing as mp, time, sys
+def burn(sec):
+    t0 = time.time(); c = 0
+    while time.time() - t0 < sec:
+        x = 0
+        for i in range(20000): x += i * i
+        c += 20000
+    return c
+if __name__ == '__main__':
+    sec = float(sys.argv[1])
+    with mp.Pool(32) as p:
+        total = sum(p.map(burn, [sec] * 32))
+    print(total / sec)
+"""
+    cmd = [sys.executable, "-c", code, str(seconds)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", "0-31"] + cmd
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        return round(float(out.stdout.strip().splitlines()[-1]), 0)
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
+    # The flagship extraction pipeline runs at a LARGER replication:
+    # the pipeline carries ~2 s of fixed per-job overhead (synth stage
+    # launch, window shuffle barrier, task-tail at 32 cores) that at
+    # replicate=32 (160k docs, ~4 s) is half the wall clock and at
+    # replicate=128 (640k docs) amortizes to ~15% — the sustained rate
+    # a long 100 TB run actually sees, and the number comparable to
+    # scripts/scaling_bench.py (also replicate>=128).
+    replicate_flagship = int(os.environ.get("SPARK_GRAFT_REPLICATE_FLAGSHIP", "128"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
     from text_extraction_evaluation_spark.operators.extract import (
@@ -42,11 +86,23 @@ def main() -> None:
         pages_df,
     )
 
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(32, cpus))
-    spark.sparkContext.setLogLevel("ERROR")
-
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+
+    # host noise denominator: capacity before any Spark work starts
+    extras["host_ops_before"] = _host_capacity()
+
+    spark = get_spark(
+        "bench",
+        cores=cpus,
+        shuffle_partitions=max(32, cpus),
+        # same GC shape scripts/scaling_bench.py measured most stable
+        # next to the Python worker pool
+        extra_java_options=(
+            f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, cpus // 4)}"
+        ),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
 
     # -- warm-up (uncounted, reported): first-use costs are session
     # fixtures, not operator costs — JVM whole-stage codegen compile,
@@ -65,10 +121,10 @@ def main() -> None:
 
     # -- flagship: synth -> dedup -> extract -> score -> report -------------
     n_parts = cpus * 3
-    pages = pages_df(spark, sf_dir, n_partitions=n_parts, replicate=replicate)
+    pages = pages_df(spark, sf_dir, n_partitions=n_parts, replicate=replicate_flagship)
     latest = latest_crawl(pages)
     extracted = extracted_clean(extract_pages(latest))
-    gold = gold_df(spark, sf_dir, replicate=replicate)
+    gold = gold_df(spark, sf_dir, replicate=replicate_flagship)
 
     # Persist the extraction output: the scoring stage consumes the
     # materialized extracted table (in production it reads the catalog
@@ -142,6 +198,12 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
 
+    spark.stop()
+    # capacity again after the run: a mid-run co-tenancy epoch shows up
+    # as before/after disagreement (run AFTER spark.stop so the probe
+    # measures the host, not contention with executor threads)
+    extras["host_ops_after"] = _host_capacity()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -153,11 +215,11 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "replicate": replicate,
+                "replicate_flagship": replicate_flagship,
                 **extras,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

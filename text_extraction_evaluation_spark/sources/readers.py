@@ -27,6 +27,7 @@ def get_spark(
     app: str = "text-extraction-evaluation-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    extra_java_options: str | None = None,
 ) -> SparkSession:
     """local[*] session tuned for the Arrow-heavy extraction workload.
 
@@ -41,6 +42,14 @@ def get_spark(
         # shuffle on tmpfs: local-mode shuffle IO otherwise adds disk
         # variance that dwarfs the compute being measured
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    if extra_java_options:
+        # e.g. GC flags for bench runs (scripts/scaling_bench.py
+        # measured ParallelGC with capped threads most stable next to
+        # the Python worker pool); applies only when the JVM has not
+        # been launched yet
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", extra_java_options
+        )
     return (
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
