@@ -145,3 +145,36 @@ def test_run_metrics_lineage(spark, pages, tmp_path_factory):
         assert r["n_ok"] + r["n_err"] <= r["n_docs"]
         assert r["bytes_in"] > 0
         assert r["t_end"] >= r["t_start"]
+
+
+def test_four_in_flight_failure_manifest_consistent(spark, pages, tmp_path_factory):
+    """>=4 chunks in flight with an injected mid-flight failure: the
+    manifest must stay consistent (unique commit seqs, every committed
+    path readable), fail-fast must cancel the queued tail, and a
+    concurrent resume must complete to the exact single-run output."""
+    from text_extraction_evaluation_spark.plans.jobs import (
+        ChunkFailure,
+        read_extracted,
+        run_extraction_job,
+    )
+    from text_extraction_evaluation_spark.sources.catalog import LocalCatalog
+
+    root = str(tmp_path_factory.mktemp("run_par4"))
+    with pytest.raises(ChunkFailure):
+        run_extraction_job(spark, pages, root, n_buckets=16, buckets_per_chunk=2,
+                           fail_after_chunks=3, max_concurrent_chunks=4)
+    cat = LocalCatalog(root)
+    committed = cat.committed_chunks("extracted")
+    # the 3 counted commits are durable; fail-fast cancelled the queued
+    # tail (in-flight chunks may still land — never all 8)
+    assert 3 <= len(committed) < 8
+    seqs = [c["seq"] for c in committed.values()]
+    assert len(set(seqs)) == len(seqs)  # commit sequence has no ties
+    for c in committed.values():
+        assert spark.read.parquet(c["path"]).count() > 0  # no torn chunk
+
+    run_extraction_job(spark, pages, root, n_buckets=16, buckets_per_chunk=2,
+                       max_concurrent_chunks=4)
+    assert len(cat.committed_chunks("extracted")) == 8
+    df = read_extracted(spark, root)
+    assert df.count() == df.select("url").distinct().count() == pages.count()

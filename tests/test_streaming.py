@@ -242,3 +242,75 @@ def test_sessionize_events_stream_stateful(spark, tmp_path_factory):
         spans = sorted(zip(closed.t_first, closed.t_last))
         for (a1, b1), (a2, _b2) in zip(spans, spans[1:]):
             assert b1 < a2
+
+
+def test_stream_dedup_ordered_replay_matches_batch_first_crawl(
+    spark, tmp_path_factory
+):
+    """Streaming<->batch contract for dedup_pages_stream: on an ORDERED
+    replay (crawl generations arrive oldest-first, one file per
+    trigger) the survivor per url is exactly the batch first-crawl row
+    — same (url, warc_ts) set AND same bytes. Mirrors the sessionizer's
+    batch-twin test."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from text_extraction_evaluation_spark.sources.readers import pages_df
+    from text_extraction_evaluation_spark.streaming.stream import (
+        dedup_pages_stream,
+        read_pages_stream,
+    )
+
+    base = tmp_path_factory.mktemp("sdedup_twin")
+    src = base / "pages"
+    src.mkdir()
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    pages = pages_df(spark, SF0001, n_partitions=4).cache()
+    # batch twin: first crawl per url (deterministic — fixture crawl
+    # timestamps are unique per url, asserted)
+    per_url = pages.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("warc_ts").alias("nd")
+    )
+    assert per_url.filter("n <> nd").count() == 0
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    ranked = pages.withColumn("rn", F.row_number().over(w))
+    first = ranked.filter("rn = 1").drop("rn")
+    rest = ranked.filter("rn > 1").drop("rn")
+
+    # ordered replay: generation files with strictly increasing mtimes
+    # (FileStreamSource admits oldest-mtime files first)
+    for i, gen in enumerate([first, rest]):
+        tmp = str(base / f"gen{i}")
+        gen.coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.endswith(".parquet") and p.startswith("part")
+        )
+        dst = src / f"{i:02d}.parquet"
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    q = (
+        dedup_pages_stream(
+            read_pages_stream(spark, str(src), max_files_per_trigger=1),
+            watermark="720 hours",  # keep all url state across the replay
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["url"], r["warc_ts"]): r["text"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {(r["url"], r["warc_ts"]): r["text"] for r in first.collect()}
+    pages.unpersist()
+    assert got == want

@@ -1,0 +1,771 @@
+"""Corpus text-stats + dedup tiers (exact, n-gram Jaccard,
+MinHash-LSH, components, keep-list, winnowing containment, SimHash).
+
+Split out of plans/queries.py (round 3)."""
+
+from __future__ import annotations
+
+import operator
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    MINHASH_BANDS,
+    MINHASH_ROWS_PER_BAND,
+    MINHASH_SEEDS,
+    SIMHASH_BITS,
+    md5_int,
+    minhash_signature,
+    tokens_col,
+    word_shingles,
+)
+from ..algo.stoplists import _SYNTH_STOPWORDS
+from .common import (  # noqa: F401 — shared helpers + SQL fragments
+    STOPWORDS_SORTED,
+    _STOP_SQL,
+    _dec,
+    _docs_par,
+    _t,
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators over `documents`
+# ---------------------------------------------------------------------------
+
+
+# BPE-ish pre-tokenizer regex (GPT-2-style, simplified to the subset
+# where Java regex and RE2 agree): letter runs, digit runs, and single
+# non-alphanumeric marks — the standard proxy for LLM token budgeting
+# when the real BPE merges are not applied.
+_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace tokenizer + BPE-ish regex count,
+    JVM-side only."""
+    docs = _docs_par(spark, sf_dir)
+    tok = tokens_col("text")
+    n = F.size(tok)
+    chars = F.length(F.regexp_replace("text", r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("n_bpe_tokens"),
+        chars.alias("n_chars_nospace"),
+        F.round(chars.cast("double") / n, 6).alias("avg_token_len"),
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS bpe,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS chars
+  FROM documents
+)
+SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct_tokens,
+       bpe AS n_bpe_tokens, chars AS n_chars_nospace,
+       ROUND(CAST(chars AS DOUBLE) / len(w), 6) AS avg_token_len
+FROM t
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + length saturation + lexical
+    diversity (the length/stopword feature family the extractor's
+    classifier uses, lifted to corpus level)."""
+    docs = _docs_par(spark, sf_dir)
+    tok = tokens_col("text")
+    n = F.size(tok)
+    stop_hits = F.aggregate(
+        tok,
+        F.lit(0),
+        lambda acc, w: acc + F.when(w.isin(STOPWORDS_SORTED), 1).otherwise(0),
+    )
+    stop_ratio = stop_hits.cast("double") / n
+    distinct_ratio = F.size(F.array_distinct(tok)).cast("double") / n
+    length_sat = F.least(F.lit(1.0), n.cast("double") / F.lit(100.0))
+    quality = 0.5 * stop_ratio + 0.3 * length_sat + 0.2 * distinct_ratio
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(length_sat, 6).alias("length_sat"),
+        # floor-quantized micro-units: ROUND half-tie semantics differ
+        # across engines for values landing exactly on a .5 boundary
+        F.floor(quality * 1e6).cast("bigint").alias("quality_e6"),
+    )
+
+
+_TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    CAST(list_sum(list_transform(w, x -> CASE WHEN x IN ({_STOP_SQL}) THEN 1 ELSE 0 END)) AS DOUBLE) / len(w) AS sr,
+    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr,
+    LEAST(1.0::DOUBLE, CAST(len(w) AS DOUBLE) / 100.0::DOUBLE) AS ls
+  FROM t
+)
+SELECT doc_id, lang, ROUND(sr, 6) AS stop_ratio, ROUND(dr, 6) AS distinct_ratio,
+       ROUND(ls, 6) AS length_sat,
+       CAST(floor((0.5::DOUBLE * sr + 0.3::DOUBLE * ls + 0.2::DOUBLE * dr) * 1000000.0::DOUBLE) AS BIGINT) AS quality_e6
+FROM s
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of the whitespace-normalized lowercased
+    text (engine-portable; used as the exact-dedup key)."""
+    docs = _docs_par(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint over the
+    corpus plus a deterministically re-crawled subset (doc_id % 10 == 0
+    re-keyed past max(doc_id) — the fixture corpus itself has only
+    NEAR-dups, which minhash/jaccard below find; re-crawls model
+    byte-identical refetches). The offset is derived as max(doc_id)+1
+    (broadcast single-row aggregate, no driver action) so planted ids
+    can NEVER collide with real doc_ids at any corpus size; the output
+    is offset-invariant because a planted id never wins min(doc_id).
+    Emits duplicate groups with the canonical keeper id. At 100 TB this
+    is one map-side fingerprint + one hash aggregate — the cheapest
+    dedup tier, always run before the LSH tiers."""
+    docs = _docs_par(spark, sf_dir).select("doc_id", "text")
+    off = docs.agg((F.max("doc_id") + 1).alias("off"))
+    recrawl = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .join(F.broadcast(off))
+        .withColumn("doc_id", F.col("doc_id") + F.col("off"))
+        .drop("off")
+    )
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    return (
+        docs.unionByName(recrawl)
+        .select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_DEDUP_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# Hot-key caps for the exact sketch equi-joins: a key (shingle /
+# winnowing fingerprint) shared by k documents emits O(k^2) join rows;
+# keys above these document frequencies are boilerplate, not signal,
+# and are dropped from both the index and the size terms (mirrored in
+# the oracle SQL, so the check is exact over the capped universe).
+NGRAM_MAX_DF = 256
+CONTAINMENT_MAX_DF = 256
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-word-shingle Jaccard >= 0.8 pairs via an inverted index:
+    explode (doc_id, shingle), EQUI-join on the shingle, count shared
+    shingles per pair (intersection), then join back the set sizes for
+    the union term. Any pair with Jaccard > 0 shares a shingle, so this
+    is exact over the RETAINED shingle universe — and it shuffles on
+    shingle keys instead of the O(n^2) nested-loop self-join
+    (dedup_ngram_jaccard_brute, the test twin).
+
+    Hot-key cap: a shingle present in k docs contributes O(k^2) join
+    rows — boilerplate shingles ("click here to subscribe") are the
+    skew at 100 TB. Shingles with document frequency > NGRAM_MAX_DF
+    are dropped from BOTH the inverted index AND the set-size term, so
+    the result is exactly "Jaccard over shingles with df <= cap" — the
+    standard stop-shingle / prefix-filter semantic, mirrored in the
+    oracle SQL. The hot set is tiny by construction (<= total
+    shingle-instances / cap keys), hence the broadcast anti-join. The
+    fixture corpus has no hot shingles, so the cap is semantics-
+    preserving there; tests/test_dedup.py plants a hot shingle and
+    asserts the bounded pair count."""
+    docs = _docs_par(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", word_shingles(tokens_col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    hot = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_MAX_DF)
+        .select("s")
+    )
+    inv = inv.join(F.broadcast(hot), "s", "left_anti")
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).select(
+        "doc_id", "n"
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # threshold on the UNROUNDED value (matching the SQL twin's WHERE);
+    # rounding is display-only — filtering the rounded value would
+    # disagree with the oracle for jaccard in [0.7999995, 0.8)
+    return (
+        co.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .filter(jac >= 0.8)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def dedup_ngram_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exactness twin (array_intersect over a nested-loop
+    self-join) — NOT registered; tests assert equality with the
+    inverted-index plan."""
+    docs = _docs_par(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", word_shingles(tokens_col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+_JACCARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sl
+  FROM t WHERE len(w) >= 3
+), inv AS (
+  SELECT doc_id, unnest(sl) AS s FROM sh
+), cold AS (
+  SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_DF}
+), inv2 AS (
+  SELECT inv.doc_id, inv.s FROM inv JOIN cold USING (s)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM inv2 GROUP BY doc_id
+), co AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS inter
+  FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM co
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs: 16 xor-permuted md5 minhashes,
+    4 bands x 4 rows; docs sharing any band bucket become a candidate
+    pair. Signatures come from the Arrow/numpy kernel
+    (operators.dedup.minhash_band_rows — same engine-portable hash
+    family as the SQL oracle; ~20x faster than interpreted Catalyst
+    lambdas); the band-bucket shuffle and pair generation stay JVM-side
+    and move only (doc_id, band_key), never shingles."""
+    from ..operators.dedup import candidate_pairs, minhash_band_rows
+
+    docs = _docs_par(spark, sf_dir)
+    return candidate_pairs(minhash_band_rows(docs))
+
+
+def dedup_minhash_lsh_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM (Catalyst higher-order-function) formulation of the
+    same MinHash-LSH candidates — kept as a cross-check twin for the
+    Arrow kernel (tests assert equality) and as the no-Python-workers
+    fallback."""
+    docs = _docs_par(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", word_shingles(tokens_col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    # materialized hash pass in its own projection so CollapseProject
+    # does not inline the md5 transform 16x into the signature exprs
+    hs = sh.select("doc_id", F.transform("sh", md5_int).alias("h"))
+    sig = hs.select("doc_id", *[
+        F.array_min(F.transform("h", lambda x: x.bitwiseXOR(F.lit(seed)))).alias(f"s{i}")
+        for i, seed in enumerate(MINHASH_SEEDS)
+    ])
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[
+                    F.col(f"s{b * MINHASH_ROWS_PER_BAND + r}").cast("string")
+                    for r in range(MINHASH_ROWS_PER_BAND)
+                ])
+            ).alias("band_key"),
+        )
+        for b in range(MINHASH_BANDS)
+    ])
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    from ..operators.dedup import candidate_pairs
+
+    return candidate_pairs(bands)
+
+
+def _minhash_sql() -> str:
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(h, x -> xor(x, {seed}::BIGINT))) AS s{i}"
+        for i, seed in enumerate(MINHASH_SEEDS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"s{b * MINHASH_ROWS_PER_BAND + r}::VARCHAR"
+                for r in range(MINHASH_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+  FROM t WHERE len(w) >= 3
+), hs AS (
+  SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+    {sig_exprs}
+  FROM hs
+), bands AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup operator: LSH candidates verified with
+    exact 3-gram Jaccard >= 0.8 — linear signature pass + candidate-only
+    verification join (never all-pairs)."""
+    from ..operators.dedup import verified_near_dup_pairs
+
+    docs = _docs_par(spark, sf_dir)
+    return verified_near_dup_pairs(docs, threshold=0.8)
+
+
+def _minhash_verified_sql() -> str:
+    cand = _minhash_sql()
+    return f"""
+WITH cand AS ({cand}),
+tt AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh2 AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+  FROM tt WHERE len(w) >= 3
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM cand c
+JOIN sh2 a ON a.doc_id = c.doc_id_a
+JOIN sh2 b ON b.doc_id = c.doc_id_b
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+"""
+
+
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (1-in-8 sampled 5-gram
+    hashes) — compact containment/overlap sketch per document."""
+    from ..operators.textstats import rolling_fingerprints
+
+    docs = _docs_par(spark, sf_dir)
+    return rolling_fingerprints(docs, window=5, keep_mod=8)
+
+
+_ROLLING_FP_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+          for i in range(1, len(w) - 3)] AS s
+  FROM t WHERE len(w) >= 5
+), h AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT),
+           v -> v % 8 = 0)) AS fps
+  FROM sh
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM h WHERE len(fps) > 0
+"""
+
+
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing containment candidates: documents sharing >= 2 sampled
+    rolling-hash fingerprints, scored by |shared| / min(|fps_a|,
+    |fps_b|) — the standard copy/containment estimate (MOSS-style) from
+    the compact sketch. EQUI-join on the fingerprint, never an
+    all-pairs comparison; at 100 TB the sketch (1-in-8 of 5-gram
+    hashes) is what ships to the shuffle, not documents.
+
+    Hot-key cap (same pattern as dedup_ngram_jaccard): a fingerprint
+    shared by k docs emits O(k^2) join rows; fingerprints with document
+    frequency > CONTAINMENT_MAX_DF are boilerplate and are dropped from
+    both the join and the size terms via a broadcast anti-join — the
+    oracle SQL applies the identical cap, so the check stays exact over
+    the capped sketch universe."""
+    from ..operators.textstats import rolling_fingerprints
+
+    fps = rolling_fingerprints(_docs_par(spark, sf_dir), window=5, keep_mod=8)
+    hot = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > CONTAINMENT_MAX_DF)
+        .select("fingerprint")
+    )
+    fps = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_fp").alias("n_b"))
+    contain = F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+    return (
+        shared.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a", "doc_id_b", "n_shared",
+            F.round(contain, 6).alias("containment"),
+        )
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH fp0 AS ({_ROLLING_FP_SQL}),
+cold AS (
+  SELECT fingerprint FROM fp0 GROUP BY fingerprint
+  HAVING COUNT(*) <= {CONTAINMENT_MAX_DF}
+), fp AS (
+  SELECT fp0.doc_id, fp0.fingerprint FROM fp0 JOIN cold USING (fingerprint)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_shared
+  FROM fp a JOIN fp b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT doc_id_a, doc_id_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+"""
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the verified
+    MinHash-LSH pair graph (iterative min-label propagation on the
+    Spark side; recursive CTE in the DuckDB oracle). The production
+    answer to transitive duplicate chains — greedy pairwise removal
+    under-merges."""
+    from ..operators.dedup import connected_components, verified_near_dup_pairs
+
+    docs = _docs_par(spark, sf_dir)
+    pairs = verified_near_dup_pairs(docs, threshold=0.8).select(
+        "doc_id_a", "doc_id_b"
+    )
+    return connected_components(pairs)
+
+
+def _components_sql() -> str:
+    pairs = _minhash_verified_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+reach(src, node) AS (
+  SELECT doc_id_a, doc_id_a FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_b FROM pairs
+  UNION
+  SELECT r.src,
+         CASE WHEN p.doc_id_a = r.node THEN p.doc_id_b ELSE p.doc_id_a END
+  FROM reach r JOIN pairs p ON r.node IN (p.doc_id_a, p.doc_id_b)
+)
+SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src
+"""
+
+
+def dedup_keep_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup DELIVERABLE, end-to-end: run the full near-dup
+    removal (MinHash-LSH candidates -> exact-Jaccard verification ->
+    connected components -> keep min-id per component, i.e.
+    operators.dedup.dedup_keep_list) and census the surviving corpus
+    per language — kept / dropped / total counts. One left join of the
+    tiny drop list onto the corpus, then a hash aggregate; at 100 TB
+    the drop list is the only extra shuffle beyond the pair pipeline.
+    Oracle: recursive-CTE connected components over the same verified
+    pair graph."""
+    from ..operators.dedup import dedup_keep_list
+
+    docs = _docs_par(spark, sf_dir)
+    kept = dedup_keep_list(docs, threshold=0.8, method="components")
+    return (
+        docs.select("doc_id", "lang")
+        .join(kept.select("doc_id", F.lit(1).alias("k")), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.coalesce("k", F.lit(0))).alias("n_kept"),
+        )
+        .withColumn("n_dropped", F.col("n_total") - F.col("n_kept"))
+    )
+
+
+def _keep_census_sql() -> str:
+    pairs = _minhash_verified_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+reach(src, node) AS (
+  SELECT doc_id_a, doc_id_a FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_b FROM pairs
+  UNION
+  SELECT r.src,
+         CASE WHEN p.doc_id_a = r.node THEN p.doc_id_b ELSE p.doc_id_a END
+  FROM reach r JOIN pairs p ON r.node IN (p.doc_id_a, p.doc_id_b)
+),
+comp AS (SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src),
+drops AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+SELECT d.lang,
+       COUNT(*) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE dr.doc_id IS NULL) AS BIGINT) AS n_kept,
+       CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document from md5 3-word-shingle hashes — one
+    pass: explode distinct shingles, 48 conditional sums, recombine.
+    Pure built-ins (bit ops survive whole-stage codegen). Shingle
+    features, not single words: the benchmark corpus has a closed
+    31-word vocabulary, so word-level simhash degenerates (every doc
+    contains nearly every word)."""
+    docs = _docs_par(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(word_shingles(tokens_col("text"))).alias("w")
+    ).withColumn("h", md5_int(F.col("w")))
+    aggs = [
+        (
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            )
+            >= 0
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bits = words.groupBy("doc_id").agg(*aggs)
+    sim = reduce(
+        operator.add,
+        [
+            F.when(F.col(f"b{i}"), F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    return bits.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_sql(pairs: bool = False) -> str:
+    bit_exprs = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN b{i} THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
+    base = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wlist FROM documents
+), words AS (
+  SELECT doc_id,
+         unnest(list_distinct([wlist[i] || ' ' || wlist[i+1] || ' ' || wlist[i+2]
+                               for i in range(1, len(wlist) - 1)])) AS w
+  FROM t WHERE len(wlist) >= 3
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words
+), bits AS (
+  SELECT doc_id,
+    {bit_exprs}
+  FROM h GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits
+)
+"""
+    if not pairs:
+        return base + "SELECT doc_id, simhash FROM sim"
+    return base + """
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+# 48 bits split into 7 bands (6x7 + 1x6): a pair within Hamming
+# distance 6 differs in at most 6 bands, so by pigeonhole it collides
+# in at least one band — banding is exact for the <=6 threshold.
+_SIMHASH_BANDS: list[tuple[int, int]] = [
+    (0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 6),
+]
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= 6, banded: each
+    doc explodes to 7 (band, value) keys; candidates come from an
+    EQUI-join on the band key (shuffle moves only doc_id+simhash+band,
+    never O(n^2) pairs), then exact bit_count verifies Hamming <= 6.
+    Exact — not approximate — by the pigeonhole split above, so the
+    brute all-pairs twin (kept for tests) returns identical rows."""
+    sim = dedup_simhash(spark, sf_dir)
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", off).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+        )
+        for i, (off, width) in enumerate(_SIMHASH_BANDS)
+    ])
+    bands = sim.select("doc_id", "simhash", F.explode(band_arr).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )
+
+
+def dedup_simhash_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exactness twin of dedup_simhash_pairs — O(n^2)
+    nested-loop self-join, NOT registered; tests assert it equals the
+    banded plan on the fixture."""
+    sim = dedup_simhash(spark, sf_dir)
+    a = sim.alias("a")
+    b = sim.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, dataset-side source bucket)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_LANG_DIST_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+
+
+# -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
+_REGISTRY = {
+    "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
+    "text_quality": (text_quality, _TEXT_QUALITY_SQL),
+    "doc_fingerprint": (doc_fingerprint, _FINGERPRINT_SQL),
+    "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, _JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_minhash_verified": (dedup_minhash_verified, _minhash_verified_sql()),
+    "dedup_components": (dedup_components, _components_sql()),
+    "dedup_keep_census": (dedup_keep_census, _keep_census_sql()),
+    "doc_rolling_fingerprints": (doc_rolling_fingerprints, _ROLLING_FP_SQL),
+    "dedup_simhash": (dedup_simhash, _simhash_sql(pairs=False)),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_sql(pairs=True)),
+    "lang_distribution": (lang_distribution, _LANG_DIST_SQL),
+    "doc_containment": (doc_containment, _CONTAINMENT_SQL),
+}

@@ -1,0 +1,932 @@
+"""Embedding similarity / ANN + specialty joins (as-of, banded
+range) + remaining TPC-H shapes + multimodal/lang-id queries.
+
+Split out of plans/queries.py (round 3)."""
+
+from __future__ import annotations
+
+import operator
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    MINHASH_BANDS,
+    MINHASH_ROWS_PER_BAND,
+    MINHASH_SEEDS,
+    SIMHASH_BITS,
+    md5_int,
+    minhash_signature,
+    tokens_col,
+    word_shingles,
+)
+from ..algo.stoplists import _SYNTH_STOPWORDS
+from .common import (  # noqa: F401 — shared helpers + SQL fragments
+    STOPWORDS_SORTED,
+    _STOP_SQL,
+    _dec,
+    _docs_par,
+    _t,
+)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors: the
+    correctness baseline for ANN. Norms precomputed per row; query side
+    broadcast; dot product via zip_with+aggregate (JVM-side, no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sq = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    base = emb.withColumn("nrm", F.sqrt(sq(F.col("v"))))
+    q = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    ).filter(F.col("query_id") < 10)
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "nn_rank",
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )
+
+
+_ANN_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
+), s AS (
+  SELECT query_id, n.vec_id AS neighbor_id,
+         list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN n ON n.vec_id <> query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+  FROM s
+)
+SELECT query_id, neighbor_id, nn_rank, ROUND(cos, 4) AS cos_sim
+FROM r WHERE nn_rank <= 5
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm statistics."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return (
+        emb.withColumn("nrm", nrm)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+_EMB_NORMS_SQL = """
+WITH n AS (
+  SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs, ROUND(AVG(nrm), 6) AS avg_norm,
+       ROUND(MIN(nrm), 6) AS min_norm, ROUND(MAX(nrm), 6) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+# Sign-LSH bucket sizing rule, in code (not prose): pick enough bits
+# that EXPECTED bucket occupancy n / 2^bits stays <= the target, so
+# within-bucket pair work is O(n * target), not O((n/2^bits)^2 * 2^bits)
+# growing with the corpus. The fixture corpora hold 500 vectors ->
+# sign_lsh_bits(500) == 6; a 10^9-vector corpus would get 27 bits.
+EMB_LSH_TARGET_OCCUPANCY = 8
+
+
+def sign_lsh_bits(n_vectors: int, target: int = EMB_LSH_TARGET_OCCUPANCY) -> int:
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_vectors / target))))
+
+
+_EMB_COSINE_BITS = sign_lsh_bits(500)
+assert _EMB_COSINE_BITS == 6  # frozen for the 500-vector fixtures
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, bits: int, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with sign-LSH blocking.
+
+    Scale path: bucket every vector by the sign pattern of its first
+    ``bits`` dimensions (axis-aligned random-projection LSH —
+    deterministic so the DuckDB oracle can reproduce it), self-join
+    ONLY within buckets (shuffle on the bucket key — never the O(n^2)
+    cross join), then verify exact cosine >= threshold on the surviving
+    candidates. ``bits`` comes from sign_lsh_bits(corpus size); all
+    arithmetic is JVM-side (zip_with/aggregate), no Python UDF.
+    """
+    emb = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    nrm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    bucket = sum(
+        F.when(F.element_at("v", i + 1) > 0, F.lit(2 ** (bits - 1 - i))).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    base = emb.withColumn("nrm", nrm).withColumn("bucket", bucket.cast("int"))
+    a = base.select(
+        F.col("bucket").alias("b_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = base.select(
+        F.col("bucket").alias("b_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("b_a").alias("bucket"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered sign-LSH near-dup query at the fixture's bit count
+    (sign_lsh_bits(500) = 6); the DuckDB twin is generated from the
+    same constant by _emb_cosine_sql."""
+    return embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), bits=_EMB_COSINE_BITS
+    )
+
+
+def _emb_cosine_sql(bits: int = _EMB_COSINE_BITS, threshold: float = 0.3) -> str:
+    cases = "\n        + ".join(
+        f"CASE WHEN v[{i + 1}] > 0 THEN {1 << (bits - 1 - i)} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         ({cases})::INT AS bucket
+  FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
+"""
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click by the same
+    user at-or-before the purchase timestamp.
+
+    Spark has no ASOF JOIN operator; the scalable composition is
+    union + window (SURVEY.md §2.4 "custom operators"): tag both
+    streams, sort once per user, and carry the last-seen click forward
+    with ``last(..., ignorenulls)``. ONE shuffle on user_id, O(n log n)
+    per key — never the range-join explosion of
+    ``p JOIN c ON c.ts <= p.ts`` + argmax. Clicks are pre-aggregated
+    per (user, ts) so ties are deterministic in both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select("user_id", "ts", "click_value", F.lit(1).alias("is_click"),
+                F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("double").alias("purchase_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("double").alias("click_value"),
+        F.lit(0).alias("is_click"), "event_id",
+        F.col("value").alias("purchase_value"),
+    )
+    # at equal ts the click sorts first (is_click desc) => "at-or-before"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "*",
+        F.last(F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True)
+        .over(w).alias("click_ts"),
+        F.last(F.col("click_value"), ignorenulls=True).over(w).alias("last_click_value"),
+    )
+    return merged.filter(F.col("is_click") == 0).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+        "click_ts",
+        F.col("last_click_value").alias("click_value"),
+    )
+
+
+_ASOF_SQL = """
+WITH c AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+       c.ts AS click_ts, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: clicks within the hour preceding each
+    purchase, per user. Spark plans a raw ``c.ts BETWEEN p.ts - 1h AND
+    p.ts`` predicate as a nested loop; the scalable form BINS time into
+    hour buckets — a 1-hour lookback spans at most 2 bins, so each
+    purchase explodes to its 2 candidate bins, candidates come from an
+    EQUI-join on (user_id, bin), and the exact interval filter refines.
+    Exact: every qualifying click's bin is one of the two probed bins,
+    and each (purchase, click) pair matches in exactly one bin (the
+    click's own), so no dedup is needed."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    hour_bin = (F.col("ts").cast("timestamp").cast("long") / 3600).cast("long")
+    cbin = (F.col("cts").cast("timestamp").cast("long") / 3600).cast("long")
+    pb = purchases.withColumn(
+        "bin", F.explode(F.array(hour_bin - 1, hour_bin))
+    )
+    cand = pb.join(clicks.withColumn("bin", cbin), ["user_id", "bin"]).filter(
+        (F.col("cts") <= F.col("ts"))
+        & (F.col("cts") > F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    agg = cand.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+    return (
+        purchases.join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
+        )
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT p.event_id, p.user_id, COUNT(c.cts) AS n_clicks_1h
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.cts <= p.ts AND c.cts > p.ts - INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours: the scale path past
+    brute-force (`ann_cosine_topk`) and RP-LSH (`ann_lsh_topk`).
+
+    Coarse quantizer = the first N_CENTROIDS vectors (deterministic so
+    the DuckDB oracle reproduces it; production swaps in k-means
+    centroids). Every vector is assigned to its nearest centroid
+    (broadcast centroid table — map-side, no shuffle of the corpus);
+    each query probes its NPROBE nearest cells and scans only those
+    inverted lists via an equi-join on cell id. At 100 TB the cell
+    count scales with corpus size so list length stays bounded.
+    """
+    n_centroids = 8
+    base = _emb_with_norm(spark, sf_dir)
+    cent = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    return _ivf_probe(base, cent, nprobe=2, topk=3, n_queries=10)
+
+
+def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sq = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return emb.withColumn("nrm", sq)
+
+
+def _ivf_probe(
+    base: DataFrame, cent: DataFrame, nprobe: int, topk: int, n_queries: int
+) -> DataFrame:
+    """Shared IVF probe: centroids (cid, cv, cn) collapse to a one-row
+    broadcast array; assignment is a map-side argmin per vector
+    (array_sort over per-centroid cosine structs) — no corpus x
+    n_centroids row explosion and NO shuffle for the assignment stage.
+    (-ccos asc, cid asc) sort order replicates the oracle's
+    ROW_NUMBER ... ORDER BY ccos DESC, cid."""
+    cent_arr = cent.select(F.struct("cid", "cv", "cn").alias("c")).agg(
+        F.collect_list("c").alias("cents")
+    )
+    scored_cells = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (
+                -(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / (F.col("nrm") * c["cn"])
+                )
+            ).alias("neg_ccos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    assigned = base.join(F.broadcast(cent_arr)).withColumn(
+        "pc", F.slice(F.array_sort(scored_cells), 1, nprobe)
+    )
+    cells = assigned.select(
+        "vec_id", "v", "nrm", F.element_at("pc", 1)["cid"].alias("cell")
+    )
+    probes = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(F.transform("pc", lambda s: s["cid"])).alias("cell"),
+    )
+    qcos = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    ) / (F.col("qn") * F.col("nrm"))
+    wtop = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", qcos)
+        .withColumn("nn_rank", F.row_number().over(wtop))
+        .filter(F.col("nn_rank") <= topk)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "nn_rank",
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8
+), ranked AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) DESC, cent.cid
+         ) AS crank
+  FROM n CROSS JOIN cent
+), cells AS (
+  SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cell
+  FROM ranked WHERE vec_id < 10 AND crank <= 2
+), scored AS (
+  SELECT query_id, cells.vec_id AS neighbor_id,
+         list_dot_product(qv, cells.v) / (qn * cells.nrm) AS cos
+  FROM probes JOIN cells USING (cell)
+  WHERE cells.vec_id <> query_id
+), top AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, nn_rank, ROUND(cos, 4) AS cos_sim
+FROM top WHERE nn_rank <= 3
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (adapted to the fixture's simplified orders
+    schema): top-10 unshipped-revenue orders for one market segment.
+    customer is broadcast; the lineitem⋈orders equi-join is the one
+    wide dependency (co-partition/bucket both on orderkey at 100 TB);
+    top-k via a single global sort-limit (Spark's TakeOrderedAndProject
+    — never a full sort materialization)."""
+    cutoff = "1998-01-01"
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO parts in one month.
+    part is broadcast (map-side join against the date-pruned lineitem
+    scan); conditional aggregation, single-row result."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-03-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                (F.lit(100.0) * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double"))
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT ROUND(
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE),
+         6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-03-01'
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the supplier and the
+    customer share a nation, one region, one order-date year. The
+    6-table join: lineitem⋈orders is the single wide dependency
+    (co-partition on orderkey at 100 TB — see tests/test_bucketing);
+    customer/supplier/nation/region all broadcast; Catalyst pushes the
+    region and date filters below the joins."""
+    cutoff_lo, cutoff_hi = "1997-01-01", "1998-01-01"
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == sup.s_suppkey)
+            & (F.col("c_nationkey") == sup.s_nationkey),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations in
+    one pass (partial-agg friendly; complements the rollup query)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_totalprice"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 4) AS avg_totalprice
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing, driver-hashable shape: synthesize the
+    deterministic media table, run the Arrow feature kernel, and explode
+    the feature vector to (media_id, dim_idx, value) rows. The fake
+    decode is the registry's md5-prefix hash primitive, so the DuckDB
+    twin regenerates the identical float32 features from scratch."""
+    from ..operators.multimodal import extract_media_features, synth_media_df
+
+    feats = extract_media_features(synth_media_df(spark, n=128), dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "feat_dim",
+        "status",
+        F.posexplode("feature").alias("dim_idx", "value"),
+    ).withColumn("value", F.round(F.col("value").cast("double"), 6))
+
+
+_MEDIA_FEATURES_SQL = """
+WITH m AS (
+  SELECT media_id,
+         CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         repeat(sha256('media-' || media_id), 4 + media_id % 5) AS payload_str
+  FROM range(128) t(media_id)
+), f AS (
+  SELECT media_id, kind, length(payload_str) AS n_bytes, CAST(i AS INTEGER) AS dim_idx,
+         ('0x' || substr(md5(payload_str || ':' || i), 1, 15))::BIGINT AS h
+  FROM m, range(16) r(i)
+)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, 16 AS feat_dim, 'ok' AS status,
+       dim_idx,
+       ROUND(CAST(CAST((h / 1152921504606846976.0 - 0.5) * 2.0 AS FLOAT) AS DOUBLE), 6) AS value
+FROM f
+"""
+
+
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID over documents (Arrow kernel, broadcast-frozen
+    profiles). SQL-checkable because the trigram profiles are frozen
+    constants: the DuckDB twin replays the same contains-count argmax."""
+    from ..operators.textstats import lang_id
+
+    return lang_id(_docs_par(spark, sf_dir))
+
+
+def _lang_id_sql() -> str:
+    """DuckDB twin of detect_lang: per-language profile-hit counts over
+    the lowercased 2000-char prefix, argmax with ties to the earlier
+    language code (strict-improvement scan order = sorted lang codes)."""
+    from ..operators.textstats import _PROFILES
+
+    hit_exprs = []
+    for lang in sorted(_PROFILES):
+        grams = _PROFILES[lang]
+        terms = " + ".join(
+            "CASE WHEN contains(sample, '{}') THEN 1 ELSE 0 END".format(
+                g.replace("'", "''")
+            )
+            for g in grams
+        )
+        hit_exprs.append(f"({terms}) AS h_{lang}, {len(grams)} AS n_{lang}")
+    langs = sorted(_PROFILES)
+    best = "greatest({})".format(
+        ", ".join(f"h_{code} / CAST(n_{code} AS DOUBLE)" for code in langs)
+    )
+    detect_chain = " ".join(
+        f"WHEN h_{code} / CAST(n_{code} AS DOUBLE) = best THEN '{code}'"
+        for code in langs
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, lower(substr(coalesce(text, ''), 1, 2000)) AS sample
+  FROM documents
+), h AS (
+  SELECT doc_id, lang, {', '.join(hit_exprs)} FROM s
+), b AS (
+  SELECT *, {best} AS best FROM h
+)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und' {detect_chain} ELSE 'und' END AS detected_lang,
+       CASE WHEN best = 0 THEN 0.0 ELSE best END AS lang_score
+FROM b
+"""
+
+
+def pdf_pages_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout parse over the deterministic fake container: one row
+    per page, blocks sorted into reading order (y, x). The DuckDB twin
+    regenerates the same container content from the sha256 seeds."""
+    from ..operators.multimodal import pdf_extract_pages, synth_pdf_df
+
+    return pdf_extract_pages(synth_pdf_df(spark, n=128))
+
+
+_PDF_PAGES_SQL = """
+WITH pages AS (
+  SELECT doc_id, p FROM range(128) t(doc_id), range(4) r(p)
+  WHERE p < 1 + doc_id % 4
+), blocks AS (
+  SELECT doc_id, p, b, sha256(doc_id || '-' || p || '-' || b) AS h
+  FROM pages, range(5) rb(b) WHERE b < 2 + (doc_id + p) % 3
+), pos AS (
+  SELECT doc_id, p,
+         ('0x' || substr(h, 1, 2))::INT % 100 AS y,
+         ('0x' || substr(h, 3, 2))::INT % 50 AS x,
+         'block ' || doc_id || '.' || p || '.' || b || ' word'
+           || (('0x' || substr(h, 5, 2))::INT % 7) AS text
+  FROM blocks
+)
+SELECT doc_id, CAST(p AS INT) AS page,
+       string_agg(text, chr(10) ORDER BY y, x, text) AS text,
+       CAST(COUNT(*) AS INT) AS n_blocks, 'ok' AS status
+FROM pos GROUP BY doc_id, p
+"""
+
+
+def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RP-LSH ANN with multiprobe, driver-checkable shape (cos rounded
+    like ann_cosine_topk). The DuckDB twin replays bucket assignment
+    from the frozen splitmix hyperplanes as literal arrays — only the
+    SIGN of each plane dot-product matters, so cross-engine float-sum
+    ordering cannot flip buckets except exactly at the hyperplane."""
+    from ..operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    r = ann_lsh_topk(emb, list(range(10)), k=5)
+    return r.select(
+        "query_id", "neighbor_id", "nn_rank", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+def _ann_lsh_sql(n_planes: int = 8, multiprobe: int = 2, dim: int = 64, k: int = 5) -> str:
+    from itertools import combinations
+
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{}]) >= 0 THEN {} ELSE 0 END)".format(
+            ", ".join(repr(float(x)) for x in planes[i]), 1 << i
+        )
+        for i in range(n_planes)
+    )
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for d in range(1, multiprobe + 1)
+        for bits in combinations(range(n_planes), d)
+    ]
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         {bucket} AS bucket
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+  FROM n WHERE vec_id < 10
+), qx AS (
+  SELECT query_id, qv, qn, xor(qbucket, m) AS bucket
+  FROM q, (SELECT unnest([{", ".join(map(str, masks))}]) AS m)
+), s AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         MAX(list_dot_product(qv, c.v) / (qn * c.nrm)) AS cos
+  FROM qx JOIN n c USING (bucket)
+  WHERE c.vec_id <> query_id
+  GROUP BY query_id, c.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+  FROM s
+)
+SELECT query_id, neighbor_id, nn_rank, ROUND(cos, 4) AS cos_sim
+FROM r WHERE nn_rank <= {k}
+"""
+
+
+# Per-language sampling rates (percent) for the stratified sampler —
+# the "downsample the over-represented language" knob of a training-data
+# mix. Frozen constants shared with the SQL twin.
+_SAMPLE_RATES: dict[str, int] = {"en": 40, "de": 60, "fr": 60, "es": 80, "zh": 100}
+
+
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (language) sampling via the engine-
+    portable hash: keep a doc when md5_int(doc_id) % 100 < rate[lang].
+    Map-side only — no shuffle, no RNG, reproducible across runs and
+    engines; the 100 TB shape for building a training mix (each
+    executor decides membership locally from the key hash)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    h = md5_int(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    rate = reduce(
+        lambda acc, kv: acc.when(F.col("lang") == kv[0], F.lit(kv[1])),
+        _SAMPLE_RATES.items(),
+        F.when(F.lit(False), F.lit(0)),
+    ).otherwise(F.lit(0))
+    return (
+        docs.withColumn("bucket_pct", h.cast("int"))
+        .filter(F.col("bucket_pct") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+def _sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in _SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 100 AS bucket_pct
+  FROM documents
+)
+WHERE bucket_pct < (CASE lang {cases} ELSE 0 END)
+GROUP BY lang
+"""
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic quality gate over the corpus, pure JVM
+    higher-order functions: minimum token count, bounded mean word
+    length, stopword-ratio floor, terminal-punctuation sentence ratio.
+    Emits the per-(lang, keep) census plus quantized mean scores — the
+    shape a 100 TB run materializes to audit what a filter drops."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tok = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    ).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS_SORTED))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    # repetition signal: distinct-token fraction (low = boilerplate/spam
+    # loops). Reported for auditing, not part of the keep rule — the
+    # fixture's closed vocabulary would make any threshold length-biased.
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    keep = (
+        (n_tok >= 50)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (stop_ratio >= 0.05)
+    )
+    return (
+        docs.select(
+            "lang",
+            keep.alias("keep"),
+            n_tok.alias("n_tok"),
+            mean_len.alias("mean_len"),
+            stop_ratio.alias("stop_ratio"),
+            uniq_ratio.alias("uniq_ratio"),
+        )
+        .groupBy("lang", "keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("mean_len"), 6).alias("avg_mean_len"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+            F.round(F.avg("uniq_ratio"), 6).alias("avg_uniq_ratio"),
+        )
+    )
+
+
+_QUALITY_FILTER_SQL = f"""
+WITH t AS (
+  SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), f AS (
+  SELECT lang,
+         len(toks) AS n_tok,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS mean_len,
+         CAST(len(list_filter(toks, w -> list_contains([{_STOP_SQL}], lower(w)))) AS DOUBLE) / len(toks) AS stop_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+  FROM t
+)
+SELECT lang,
+       (n_tok >= 50 AND mean_len >= 3.0 AND mean_len <= 10.0 AND stop_ratio >= 0.05) AS keep,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(mean_len), 6) AS avg_mean_len,
+       ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio,
+       ROUND(AVG(uniq_ratio), 6) AS avg_uniq_ratio
+FROM f GROUP BY 1, 2
+"""
+
+
+
+
+# -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
+_REGISTRY = {
+    "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, _emb_cosine_sql()),
+    "q_events_asof_join": (q_events_asof_join, _ASOF_SQL),
+    "q_events_range_join": (q_events_range_join, _RANGE_JOIN_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, _IVF_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, _Q5_SQL),
+    "q_cube_order_stats": (q_cube_order_stats, _CUBE_SQL),
+    "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
+    "media_features": (media_features, _MEDIA_FEATURES_SQL),
+    "lang_id": (lang_id_query, _lang_id_sql()),
+    "pdf_pages": (pdf_pages_query, _PDF_PAGES_SQL),
+    "ann_lsh_topk": (ann_lsh_topk_query, _ann_lsh_sql()),
+    "doc_sample_stratified": (doc_sample_stratified, _sample_sql()),
+    "quality_filter": (quality_filter, _QUALITY_FILTER_SQL),
+}

@@ -1,0 +1,828 @@
+"""Extraction-family driver gates (golden fingerprints), extractor
+ranking, corpus profiling, pivot/map surfaces, k-means + IVF-kmeans.
+
+Split out of plans/queries.py (round 3)."""
+
+from __future__ import annotations
+
+import operator
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    MINHASH_BANDS,
+    MINHASH_ROWS_PER_BAND,
+    MINHASH_SEEDS,
+    SIMHASH_BITS,
+    md5_int,
+    minhash_signature,
+    tokens_col,
+    word_shingles,
+)
+from ..algo.stoplists import _SYNTH_STOPWORDS
+from .common import (  # noqa: F401 — shared helpers + SQL fragments
+    STOPWORDS_SORTED,
+    _STOP_SQL,
+    _dec,
+    _docs_par,
+    _t,
+)
+from .q_embedding import _emb_with_norm, _ivf_probe, sign_lsh_bits  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Golden-fingerprint gates for the non-SQL-expressible extraction family.
+#
+# jusText extraction / LCS scoring cannot be expressed in SQL, so their
+# driver gate is an order-independent content fingerprint: a 48-bit
+# md5-prefix sum over every row's key fields (+ floor(1e9*x) integer
+# sums for the per-span/per-doc doubles, which are bitwise-identical
+# between the oracle and the Spark kernel — tests/test_parity.py). The
+# oracle side is a frozen constant computed by the pinned pure-Python
+# oracle (scripts/freeze_fingerprints.py -> oracle/run_oracle.py),
+# never from Spark — so any Spark-side drift (Arrow round-trip, dedup
+# window, encoding sniff, partitioning) shows up as a driver hash
+# mismatch. Constants are keyed on the fixture scale via
+# (SELECT COUNT(*) FROM events): 1000 = sf0.001, 10000 = sf0.01 (both
+# document corpora have 500 docs, so doc count cannot key them).
+# ---------------------------------------------------------------------------
+
+
+def _fp48(col: Column) -> Column:
+    """48-bit md5-prefix fingerprint (sum-safe in bigint up to ~30k rows
+    per fixture; the Python twin is int(md5(s).hexdigest()[:12], 16))."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def _q9(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(1e9)).cast("bigint")
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extract import extract_pages, extracted_clean, latest_crawl
+    from ..sources.readers import pages_df
+
+    pages = pages_df(spark, sf_dir, n_partitions=16)
+    return extracted_clean(extract_pages(latest_crawl(pages)))
+
+
+def extract_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-parity of the full extraction pipeline as one driver row:
+    fingerprint over url|lang|status|n_paragraphs|n_good|text."""
+    ex = _extracted(spark, sf_dir)
+    key = F.concat_ws(
+        "|",
+        "url",
+        "lang",
+        "status",
+        F.col("n_paragraphs").cast("string"),
+        F.col("n_good").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(_fp48(key)).alias("fp_sum")
+    )
+
+
+_TEXT_FP_SQL = """
+SELECT n_rows, fp_sum FROM (VALUES
+  (1000,  CAST(500 AS BIGINT), CAST(70158527454893740 AS BIGINT)),
+  (10000, CAST(500 AS BIGINT), CAST(69798393735633324 AS BIGINT))
+) t(n_events, n_rows, fp_sum)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def extract_spans_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level parity as one driver row: fingerprint over
+    url|idx|class_cf|class_final|word_count|heading plus quantized
+    density sums."""
+    from ..operators.extract import extract_spans, latest_crawl
+    from ..sources.readers import pages_df
+
+    spans = extract_spans(latest_crawl(pages_df(spark, sf_dir, n_partitions=16)))
+    key = F.concat_ws(
+        "|",
+        "url",
+        F.col("idx").cast("string"),
+        "class_cf",
+        "class_final",
+        F.col("word_count").cast("string"),
+        F.col("heading").cast("int").cast("string"),
+        "text",
+    )
+    return spans.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_fp48(key)).alias("fp_sum"),
+        F.sum(_q9("link_density")).alias("ld_q9_sum"),
+        F.sum(_q9("stopword_density")).alias("sd_q9_sum"),
+    )
+
+
+_SPANS_FP_SQL = """
+SELECT n_rows, fp_sum, ld_q9_sum, sd_q9_sum FROM (VALUES
+  (1000,  CAST(3413 AS BIGINT), CAST(475679151384561777 AS BIGINT),
+          CAST(1520808857500 AS BIGINT), CAST(528771530360 AS BIGINT)),
+  (10000, CAST(3244 AS BIGINT), CAST(457125634549963469 AS BIGINT),
+          CAST(1520808857500 AS BIGINT), CAST(448049649062 AS BIGINT))
+) t(n_events, n_rows, fp_sum, ld_q9_sum, sd_q9_sum)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def doc_scores_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LCS/BoW scoring parity as one driver row:
+    fingerprint over the integer/string score fields plus quantized
+    sums of the six P/R/F1 doubles."""
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    scores = score_extracted(_extracted(spark, sf_dir), gold_df(spark, sf_dir))
+    key = F.concat_ws(
+        "|",
+        "url",
+        "extractor",
+        "dataset",
+        F.col("matched").cast("string"),
+        F.col("matched_bow").cast("string"),
+        F.col("retrieved").cast("string"),
+        F.col("relevant").cast("string"),
+        "status",
+    )
+    return scores.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_fp48(key)).alias("fp_sum"),
+        F.sum(_q9("precision")).alias("p_q9_sum"),
+        F.sum(_q9("recall")).alias("r_q9_sum"),
+        F.sum(_q9("f1")).alias("f1_q9_sum"),
+        F.sum(_q9("precision_bow")).alias("pb_q9_sum"),
+        F.sum(_q9("recall_bow")).alias("rb_q9_sum"),
+        F.sum(_q9("f1_bow")).alias("fb_q9_sum"),
+    )
+
+
+_SCORES_FP_SQL = """
+SELECT n_rows, fp_sum, p_q9_sum, r_q9_sum, f1_q9_sum, pb_q9_sum, rb_q9_sum, fb_q9_sum
+FROM (VALUES
+  (1000,  CAST(500 AS BIGINT), CAST(69310761688465331 AS BIGINT),
+          CAST(272266938002 AS BIGINT), CAST(266559509428 AS BIGINT),
+          CAST(267134691490 AS BIGINT), CAST(272437275957 AS BIGINT),
+          CAST(266772245923 AS BIGINT), CAST(267323222762 AS BIGINT)),
+  (10000, CAST(500 AS BIGINT), CAST(70349754476732240 AS BIGINT),
+          CAST(264560467807 AS BIGINT), CAST(262334017192 AS BIGINT),
+          CAST(261836346105 AS BIGINT), CAST(264796460241 AS BIGINT),
+          CAST(262640683137 AS BIGINT), CAST(262102801803 AS BIGINT))
+) t(n_events, n_rows, fp_sum, p_q9_sum, r_q9_sum, f1_q9_sum, pb_q9_sum, rb_q9_sum, fb_q9_sum)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def status_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 fail/empty report over the scored corpus; oracle side is the
+    frozen per-fixture status census from the pure-Python oracle."""
+    from ..operators.report import status_counts
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    scores = score_extracted(_extracted(spark, sf_dir), gold_df(spark, sf_dir))
+    return status_counts(scores)
+
+
+_STATUS_COUNTS_SQL = """
+SELECT extractor, dataset, status, n_docs FROM (VALUES
+  (1000,  'justext_spark', 'cleaneval',  'empty', CAST(112 AS BIGINT)),
+  (1000,  'justext_spark', 'cleaneval',  'ok',    CAST(138 AS BIGINT)),
+  (1000,  'justext_spark', 'googlenews', 'empty', CAST(107 AS BIGINT)),
+  (1000,  'justext_spark', 'googlenews', 'ok',    CAST(143 AS BIGINT)),
+  (10000, 'justext_spark', 'cleaneval',  'empty', CAST(111 AS BIGINT)),
+  (10000, 'justext_spark', 'cleaneval',  'ok',    CAST(139 AS BIGINT)),
+  (10000, 'justext_spark', 'googlenews', 'empty', CAST(115 AS BIGINT)),
+  (10000, 'justext_spark', 'googlenews', 'ok',    CAST(135 AS BIGINT))
+) t(n_events, extractor, dataset, status, n_docs)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def worst_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 diagnostic: 10 worst-scored ok-documents per (extractor,
+    dataset). Oracle side is frozen VALUES from the pure-Python oracle
+    (scripts/freeze_fingerprints.py); the P/R/F1 doubles are bitwise-
+    deterministic (test_parity), so repr() literals round-trip exactly."""
+    from ..operators.report import worst_documents
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    scores = score_extracted(_extracted(spark, sf_dir), gold_df(spark, sf_dir))
+    return worst_documents(scores, k=10)
+
+
+# (n_events_key -> rows) frozen by scripts/freeze_fingerprints.py
+_WORST_DOCS_CONST: dict[int, list[tuple]] = {
+    1000: [
+        ("cleaneval", 1, "http://host19.example/204", "0.6029411764705882", "1.0", "0.43157894736842106"),
+        ("cleaneval", 2, "http://host5.example/486", "0.6131386861313868", "1.0", "0.4421052631578947"),
+        ("cleaneval", 3, "http://host9.example/342", "0.6176470588235294", "1.0", "0.44680851063829785"),
+        ("cleaneval", 4, "http://host7.example/488", "0.6573426573426574", "0.6351351351351351", "0.6811594202898551"),
+        ("cleaneval", 5, "http://host22.example/22", "0.6615384615384615", "1.0", "0.4942528735632184"),
+        ("cleaneval", 6, "http://host36.example/406", "0.6711409395973155", "1.0", "0.5050505050505051"),
+        ("cleaneval", 7, "http://host6.example/6", "0.6969696969696969", "1.0", "0.5348837209302325"),
+        ("cleaneval", 8, "http://host5.example/264", "0.7338129496402876", "0.6538461538461539", "0.8360655737704918"),
+        ("cleaneval", 9, "http://host36.example/443", "0.7339449541284404", "1.0", "0.5797101449275363"),
+        ("cleaneval", 10, "http://host32.example/328", "0.7476635514018691", "0.5970149253731343", "1.0"),
+        ("googlenews", 1, "http://host25.example/358", "0.6046511627906976", "1.0", "0.43333333333333335"),
+        ("googlenews", 2, "http://host29.example/214", "0.6259541984732825", "1.0", "0.45555555555555555"),
+        ("googlenews", 3, "http://host17.example/54", "0.6363636363636364", "1.0", "0.4666666666666667"),
+        ("googlenews", 4, "http://host4.example/374", "0.6382978723404256", "1.0", "0.46875"),
+        ("googlenews", 5, "http://host1.example/38", "0.6434782608695652", "1.0", "0.47435897435897434"),
+        ("googlenews", 6, "http://host23.example/134", "0.6446280991735537", "1.0", "0.47560975609756095"),
+        ("googlenews", 7, "http://host20.example/390", "0.6666666666666666", "1.0", "0.5"),
+        ("googlenews", 8, "http://host30.example/474", "0.7114093959731543", "1.0", "0.5520833333333334"),
+        ("googlenews", 9, "http://host12.example/456", "0.7407407407407406", "0.5970149253731343", "0.975609756097561"),
+        ("googlenews", 10, "http://host16.example/312", "0.7428571428571429", "0.5909090909090909", "1.0"),
+    ],
+    10000: [
+        ("cleaneval", 1, "http://host22.example/22", "0.6271186440677966", "1.0", "0.4567901234567901"),
+        ("cleaneval", 2, "http://host36.example/406", "0.639344262295082", "1.0", "0.46987951807228917"),
+        ("cleaneval", 3, "http://host28.example/102", "0.6417910447761194", "1.0", "0.4725274725274725"),
+        ("cleaneval", 4, "http://skew.example/200", "0.7096774193548387", "0.6197183098591549", "0.8301886792452831"),
+        ("cleaneval", 5, "http://host14.example/88", "0.721311475409836", "0.6197183098591549", "0.8627450980392157"),
+        ("cleaneval", 6, "http://host7.example/488", "0.7272727272727273", "0.5714285714285714", "1.0"),
+        ("cleaneval", 7, "http://skew.example/120", "0.7326732673267327", "0.578125", "1.0"),
+        ("cleaneval", 8, "http://host20.example/168", "0.7476635514018691", "0.5970149253731343", "1.0"),
+        ("cleaneval", 9, "http://skew.example/440", "0.7567567567567568", "0.6086956521739131", "1.0"),
+        ("cleaneval", 10, "http://host30.example/104", "0.7652173913043477", "0.6197183098591549", "1.0"),
+        ("googlenews", 1, "http://host33.example/70", "0.6176470588235294", "1.0", "0.44680851063829785"),
+        ("googlenews", 2, "http://host0.example/296", "0.7083333333333333", "0.6538461538461539", "0.7727272727272727"),
+        ("googlenews", 3, "http://host28.example/472", "0.7378640776699029", "0.5846153846153846", "1.0"),
+        ("googlenews", 4, "http://host4.example/152", "0.7428571428571429", "0.5909090909090909", "1.0"),
+        ("googlenews", 5, "http://host35.example/72", "0.7567567567567568", "0.6086956521739131", "1.0"),
+        ("googlenews", 6, "http://host10.example/232", "0.759124087591241", "0.6582278481012658", "0.896551724137931"),
+        ("googlenews", 7, "http://host9.example/379", "0.7692307692307693", "1.0", "0.625"),
+        ("googlenews", 8, "http://host25.example/136", "0.8235294117647058", "0.7", "1.0"),
+        ("googlenews", 9, "http://host3.example/373", "0.8235294117647058", "1.0", "0.7"),
+        ("googlenews", 10, "http://host16.example/312", "0.8322981366459626", "0.7127659574468085", "1.0"),
+    ],
+}
+
+
+def _worst_docs_sql() -> str:
+    rows = ",\n  ".join(
+        f"({n_ev}, 'justext_spark', '{ds}', CAST({rk} AS INTEGER), '{url}', "
+        # string->double (strtod) is correctly rounded; a bare decimal
+        # literal goes through DECIMAL and can lose the last ulp
+        f"CAST('{f1}' AS DOUBLE), CAST('{p}' AS DOUBLE), CAST('{r}' AS DOUBLE))"
+        for n_ev, rs in _WORST_DOCS_CONST.items()
+        for (ds, rk, url, f1, p, r) in rs
+    )
+    return f"""
+SELECT extractor, dataset, worst_rank, url, f1, precision, recall FROM (VALUES
+  {rows}
+) t(n_events, extractor, dataset, worst_rank, url, f1, precision, recall)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def _extracted_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extract import extract_pages_density, extracted_clean, latest_crawl
+    from ..sources.readers import pages_df
+
+    pages = pages_df(spark, sf_dir, n_partitions=16)
+    return extracted_clean(extract_pages_density(latest_crawl(pages)))
+
+
+def density_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-parity gate for the SECOND extractor (densometric WSDM-2010
+    rules): same order-independent fingerprint shape as
+    extract_text_fingerprint, constants frozen from the pandas oracle
+    twin (oracle_extract_density)."""
+    ex = _extracted_density(spark, sf_dir)
+    key = F.concat_ws(
+        "|",
+        "url",
+        "lang",
+        "status",
+        F.col("n_paragraphs").cast("string"),
+        F.col("n_good").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(_fp48(key)).alias("fp_sum")
+    )
+
+
+_DENSITY_FP_SQL = """
+SELECT n_rows, fp_sum FROM (VALUES
+  (1000,  CAST(500 AS BIGINT), CAST(72656019036639518 AS BIGINT)),
+  (10000, CAST(500 AS BIGINT), CAST(70358403449349225 AS BIGINT))
+) t(n_events, n_rows, fp_sum)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def extractor_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference harness's core deliverable: multiple extractors
+    scored against the same gold and RANKED per dataset (W1). Both
+    extraction kernels run over the same latest-crawl pages; scores are
+    unioned and fed to ranked_report; the driver-hashed output keeps
+    the integer/string columns (rank order is decided by avg macro-F1
+    internally — floats stay out of the hash). Oracle = frozen VALUES
+    from the pandas oracle running both extractors."""
+    from ..operators.report import ranked_report
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    gold = gold_df(spark, sf_dir)
+    scores = score_extracted(
+        _extracted(spark, sf_dir), gold, extractor="justext_spark"
+    ).unionByName(
+        score_extracted(_extracted_density(spark, sf_dir), gold, extractor="textdensity")
+    )
+    return ranked_report(scores).select(
+        "dataset", "rank", "extractor", "n_ok", "n_empty", "n_fail"
+    )
+
+
+_EXTRACTOR_RANKING_CONST: dict[int, list[tuple]] = {
+    1000: [
+        ("cleaneval", 1, "justext_spark", 138, 112, 0),
+        ("cleaneval", 2, "textdensity", 197, 53, 0),
+        ("googlenews", 1, "justext_spark", 143, 107, 0),
+        ("googlenews", 2, "textdensity", 198, 52, 0),
+    ],
+    10000: [
+        ("cleaneval", 1, "justext_spark", 139, 111, 0),
+        ("cleaneval", 2, "textdensity", 199, 51, 0),
+        ("googlenews", 1, "justext_spark", 135, 115, 0),
+        ("googlenews", 2, "textdensity", 200, 50, 0),
+    ],
+}
+
+
+def _extractor_ranking_sql() -> str:
+    rows = ",\n  ".join(
+        f"({n_ev}, '{ds}', CAST({rk} AS INTEGER), '{ex}', CAST({n_ok} AS BIGINT), "
+        f"CAST({n_empty} AS BIGINT), CAST({n_fail} AS BIGINT))"
+        for n_ev, rs in _EXTRACTOR_RANKING_CONST.items()
+        for (ds, rk, ex, n_ok, n_empty, n_fail) in rs
+    )
+    return f"""
+SELECT dataset, rank, extractor, n_ok, n_empty, n_fail FROM (VALUES
+  {rows}
+) t(n_events, dataset, rank, extractor, n_ok, n_empty, n_fail)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT length percentiles (p50/p90/p99, linear
+    interpolation) — corpus profiling for filter-threshold tuning.
+    Exact (sort-based) rather than approx_percentile: t-digest /
+    GK sketches are engine-specific, so the approximate variants can
+    never be oracle-checked; at 100 TB swap in approx_percentile and
+    keep this as the audit query on samples."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99_chars"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       ROUND(quantile_cont(n_chars, 0.99), 4) AS p99_chars
+FROM documents GROUP BY lang
+"""
+
+
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width length histogram per language (bucket = n_chars div
+    100) — map-side bucketing + hash aggregate, the shape that profiles
+    a 100 TB corpus in one pass."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return (
+        docs.withColumn("bucket_lo", F.expr("(n_chars div 100) * 100"))
+        .groupBy("lang", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT lang, (n_chars // 100) * 100 AS bucket_lo, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column surface (§2.10): parse the JSON props into
+    map<string,string>, explode, and census keys per event type —
+    from_json + explode(map) stay whole-stage-codegen'd JVM ops."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select("event_type", F.explode(m).alias("prop_key", "prop_value"))
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("prop_value").alias("n_distinct_values"),
+        )
+    )
+
+
+# JSON -> MAP(VARCHAR,VARCHAR) cast (true key/value pairs), not a
+# '$.' || key path rebuild: a path string breaks for keys containing
+# '.', quotes, or brackets, so the twin would silently depend on
+# fixture key shapes (ADVICE r2). The MAP cast mirrors Spark's
+# from_json map<string,string> (scalar values unquoted, nested values
+# as JSON text).
+_EVENTS_PROPS_MAP_SQL = """
+SELECT event_type, u.entry.key AS prop_key, COUNT(*) AS n,
+       COUNT(DISTINCT u.entry.value) AS n_distinct_values
+FROM (
+  SELECT event_type,
+         unnest(map_entries(CAST(props::JSON AS MAP(VARCHAR, VARCHAR)))) AS entry
+  FROM events
+) u
+GROUP BY 1, 2
+"""
+
+
+def ann_quality_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: similarity search restricted to documents
+    that pass the C4-style quality gate — the embed-then-filter shape a
+    training-data mix actually runs (corpus gate -> LEFT SEMI join onto
+    the embedding table on vec_id == doc_id -> exact cosine top-k).
+    The semi join prunes the scan side BEFORE the distance work."""
+    from ..operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tok = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    ).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS_SORTED))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    keep_ids = docs.filter(
+        (n_tok >= 50) & (mean_len >= 3.0) & (mean_len <= 10.0) & (stop_ratio >= 0.05)
+    ).select(F.col("doc_id").alias("vec_id"))
+    emb = _t(spark, sf_dir, "embeddings").join(keep_ids, "vec_id", "left_semi")
+    r = brute_force_topk(emb, list(range(10)), k=5)
+    return r.select(
+        "query_id", "neighbor_id", "nn_rank", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+_ANN_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, len(toks) AS n_tok,
+           CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS mean_len,
+           CAST(len(list_filter(toks, w -> list_contains([{_STOP_SQL}], lower(w)))) AS DOUBLE) / len(toks) AS stop_ratio
+    FROM t
+  ) WHERE n_tok >= 50 AND mean_len >= 3.0 AND mean_len <= 10.0 AND stop_ratio >= 0.05
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM keep)
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
+), s AS (
+  SELECT query_id, n.vec_id AS neighbor_id,
+         list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN n ON n.vec_id <> query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+  FROM s
+)
+SELECT query_id, neighbor_id, nn_rank, ROUND(cos, 4) AS cos_sim
+FROM r WHERE nn_rank <= 5
+"""
+
+
+_PIVOT_SOURCES = ["src0", "src1", "src2", "src3"]
+
+
+def lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: doc counts per language with one column per
+    (fixed, enumerated) source — ``pivot(col, values)`` with explicit
+    values keeps the plan a single pass (no extra distinct-values job)
+    and is the only scalable form at 100 TB; the long-tail stays in
+    n_other. The oracle replays it as conditional aggregation (what a
+    pivot lowers to)."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    wide = (
+        docs.groupBy("lang")
+        .pivot("source", _PIVOT_SOURCES)
+        .agg(F.count(F.lit(1)))
+    )
+    for s in _PIVOT_SOURCES:
+        wide = wide.withColumnRenamed(s, f"n_{s}").withColumn(
+            f"n_{s}", F.coalesce(F.col(f"n_{s}"), F.lit(0))
+        )
+    other = docs.filter(~F.col("source").isin(_PIVOT_SOURCES)).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_other")
+    )
+    return wide.join(other, "lang", "left").withColumn(
+        "n_other", F.coalesce("n_other", F.lit(0))
+    )
+
+
+def _pivot_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{s}"
+        for s in _PIVOT_SOURCES
+    )
+    not_in = ", ".join(f"'{s}'" for s in _PIVOT_SOURCES)
+    return f"""
+SELECT lang,
+       {cols},
+       CAST(SUM(CASE WHEN source NOT IN ({not_in}) THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM documents GROUP BY lang
+"""
+
+
+def kmeans_embeddings(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table — the
+    iterative-algorithm shape (like connected_components) done entirely
+    as composed DataFrame ops with ZERO driver actions: per iteration,
+    centroids collapse to a one-row broadcast array, assignment is a
+    map-side integer argmin (no shuffle), and the update is one
+    (cell, dim) hash aggregate. At 10^9 vectors each iteration is one
+    shuffle of (cell, dim, q) partial sums — partial-agg friendly.
+
+    Determinism across engines: vectors are quantized to integers
+    (floor(x * 1e6)), so distances and centroid updates are EXACT
+    integer arithmetic — no float-sum ordering anywhere — and Spark's
+    ``div`` matches DuckDB's ``//`` (both truncate toward zero).
+    Init = first k vectors (production swaps in k-means|| sampling).
+    Emits (cid, n_members, dim_idx, centroid_q)."""
+    cent = _kmeans_centroids(spark, sf_dir, k, iters)
+    return cent.select(
+        "cid",
+        "n_members",
+        F.posexplode("cq").alias("dim_idx", "centroid_q"),
+    )
+
+
+def _kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """(cid, cq: array<bigint>, n_members) after ``iters`` Lloyd
+    updates — the composable form (ann_ivf_kmeans_topk feeds these
+    into the IVF probe as its coarse quantizer)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = F.transform("v", lambda x: F.floor(x * 1e6).cast("bigint"))
+    base = emb.select("vec_id", qv.alias("qv"))
+    cent = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("cq")
+    )
+    assigned = None
+    for _ in range(iters):
+        cent_arr = cent.select(F.struct("cid", "cq").alias("c")).agg(
+            F.collect_list("c").alias("cents")
+        )
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), c["cq"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        assigned = base.join(F.broadcast(cent_arr)).withColumn(
+            "cell", F.element_at(F.array_sort(scored), 1)["cid"]
+        )
+        upd = (
+            assigned.select("cell", F.posexplode("qv").alias("d", "q"))
+            .groupBy("cell", "d")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cell", "d", "n", F.expr("s div n").alias("cq"))
+        )
+        cent = (
+            upd.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cq"))),
+                    lambda p: p["cq"],
+                ).alias("cq"),
+                F.min("n").alias("n_members"),
+            )
+            .select(F.col("cell").cast("int").alias("cid"), "cq", "n_members")
+        )
+    return cent
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the LEARNED coarse quantizer: k-means centroids
+    (integer-exact Lloyd iterations) dequantized to doubles feed the
+    same map-side-argmin probe as ann_ivf_topk — the production IVF
+    composition the first-k variant stubs."""
+    base = _emb_with_norm(spark, sf_dir)
+    cv = F.transform("cq", lambda x: x / F.lit(1e6))
+    cent = _kmeans_centroids(spark, sf_dir).select(
+        "cid", cv.alias("cv")
+    )
+    cn = F.sqrt(
+        F.aggregate(F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cent = cent.withColumn("cn", cn)
+    return _ivf_probe(base, cent, nprobe=2, topk=3, n_queries=10)
+
+
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """The WITH-clause body shared by _kmeans_sql and _ivf_kmeans_sql."""
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), ev AS (
+  SELECT vec_id, d, qv[d] AS q FROM e, range(1, {dim + 1}) t(d)
+), c0 AS (
+  SELECT vec_id AS cid, d, qv[d] AS cq, 1 AS n
+  FROM e, range(1, {dim + 1}) t(d) WHERE vec_id < {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""", dist{i} AS (
+  SELECT ev.vec_id, c.cid, SUM((ev.q - c.cq) * (ev.q - c.cq)) AS dist
+  FROM ev JOIN c{i - 1} c ON ev.d = c.d
+  GROUP BY 1, 2
+), a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dist{i}
+  ) WHERE rn = 1
+), c{i} AS (
+  SELECT a.cid, ev.d, CAST(SUM(ev.q) // COUNT(*) AS BIGINT) AS cq,
+         COUNT(*) AS n
+  FROM a{i} a JOIN ev ON ev.vec_id = a.vec_id
+  GROUP BY 1, 2
+)""")
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    return _kmeans_ctes(k, iters, dim) + f"""
+SELECT CAST(cid AS INTEGER) AS cid, CAST(n AS BIGINT) AS n_members,
+       CAST(d - 1 AS INTEGER) AS dim_idx, cq AS centroid_q
+FROM c{iters}
+"""
+
+
+def _ivf_kmeans_sql(
+    k: int = 8, iters: int = 3, dim: int = 64,
+    nprobe: int = 2, topk: int = 3, n_queries: int = 10,
+) -> str:
+    """IVF probe over the k-means centroids: the kmeans CTE chain plus
+    the same cosine/rank logic as _IVF_SQL, with centroid vectors
+    reassembled as ordered lists and dequantized (cq / 1e6 — exact in
+    doubles) so list_dot_product mirrors the Spark fold."""
+    return _kmeans_ctes(k, iters, dim) + f""", cent AS (
+  SELECT CAST(cid AS INTEGER) AS cid,
+         list_transform(list(cq ORDER BY d), x -> x / 1000000.0) AS cv
+  FROM c{iters} GROUP BY cid
+), centn AS (
+  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent
+), nv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), ranked AS (
+  SELECT nv.vec_id, nv.v, nv.nrm, centn.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY nv.vec_id
+           ORDER BY list_dot_product(nv.v, centn.cv) / (nv.nrm * centn.cn) DESC, centn.cid
+         ) AS crank
+  FROM nv CROSS JOIN centn
+), cells AS (
+  SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cell
+  FROM ranked WHERE vec_id < {n_queries} AND crank <= {nprobe}
+), scored AS (
+  SELECT query_id, cells.vec_id AS neighbor_id,
+         list_dot_product(qv, cells.v) / (qn * cells.nrm) AS cos
+  FROM probes JOIN cells USING (cell)
+  WHERE cells.vec_id <> query_id
+), top AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, nn_rank, ROUND(cos, 4) AS cos_sim
+FROM top WHERE nn_rank <= {topk}
+"""
+
+
+def extract_report_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship evaluation report in driver-hashable EXACT-INTEGER
+    form: per (extractor, dataset) status counts, floor(1e9 * metric)
+    sums over ok docs (order-independent integer sums of the bitwise-
+    deterministic per-doc P/R/F1), and the micro token counters. The
+    float report (`extract_report`) stays the human-facing entry; this
+    twin is what a cross-engine hash can gate — macro-F1 is
+    sum_f1_q9 / 1e9 / n_ok to within 1e-9."""
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    gold = gold_df(spark, sf_dir)
+    scores = score_extracted(
+        _extracted(spark, sf_dir), gold, extractor="justext_spark"
+    ).unionByName(
+        score_extracted(_extracted_density(spark, sf_dir), gold, extractor="textdensity")
+    )
+    ok = F.col("status") == "ok"
+    return scores.groupBy("extractor", "dataset").agg(
+        F.count(F.when(ok, 1)).alias("n_ok"),
+        F.count(F.when(F.col("status") == "empty", 1)).alias("n_empty"),
+        F.count(F.when(~ok & (F.col("status") != "empty"), 1)).alias("n_fail"),
+        F.sum(F.when(ok, _q9("precision")).otherwise(F.lit(0))).alias("sum_p_q9"),
+        F.sum(F.when(ok, _q9("recall")).otherwise(F.lit(0))).alias("sum_r_q9"),
+        F.sum(F.when(ok, _q9("f1")).otherwise(F.lit(0))).alias("sum_f1_q9"),
+        F.sum("matched").alias("micro_matched"),
+        F.sum("retrieved").alias("micro_retrieved"),
+        F.sum("relevant").alias("micro_relevant"),
+    )
+
+
+_REPORT_EXACT_CONST: dict[int, list[tuple]] = {
+    1000: [
+        ("justext_spark", "cleaneval", 138, 112, 0, 133010979488, 130898948037, 130860694132, 8916, 9372, 14032),
+        ("justext_spark", "googlenews", 143, 107, 0, 139255958514, 135660561391, 136273997358, 9196, 9509, 13907),
+        ("textdensity", "cleaneval", 197, 53, 0, 128023913366, 151166666666, 138049657993, 9959, 12083, 14032),
+        ("textdensity", "googlenews", 198, 52, 0, 133748524090, 154272727272, 142783450014, 10336, 12286, 13907),
+    ],
+    10000: [
+        ("justext_spark", "cleaneval", 139, 111, 0, 133043470709, 133216590207, 132166265771, 9000, 9512, 13664),
+        ("justext_spark", "googlenews", 135, 115, 0, 131516997098, 129117426985, 129670080334, 8779, 9065, 13501),
+        ("textdensity", "cleaneval", 199, 51, 0, 131570597340, 154488413546, 141460486883, 9973, 12064, 13664),
+        ("textdensity", "googlenews", 200, 50, 0, 129475690585, 149490566036, 137873269940, 9764, 11702, 13501),
+    ],
+}
+
+
+def _report_exact_sql() -> str:
+    rows = ",\n  ".join(
+        f"({n_ev}, '{ex}', '{ds}', CAST({n_ok} AS BIGINT), CAST({n_e} AS BIGINT), "
+        f"CAST({n_f} AS BIGINT), CAST({p} AS BIGINT), CAST({r} AS BIGINT), "
+        f"CAST({f1} AS BIGINT), CAST({mm} AS BIGINT), CAST({mr} AS BIGINT), "
+        f"CAST({mv} AS BIGINT))"
+        for n_ev, rs in _REPORT_EXACT_CONST.items()
+        for (ex, ds, n_ok, n_e, n_f, p, r, f1, mm, mr, mv) in rs
+    )
+    return f"""
+SELECT extractor, dataset, n_ok, n_empty, n_fail, sum_p_q9, sum_r_q9, sum_f1_q9,
+       micro_matched, micro_retrieved, micro_relevant
+FROM (VALUES
+  {rows}
+) t(n_events, extractor, dataset, n_ok, n_empty, n_fail, sum_p_q9, sum_r_q9,
+    sum_f1_q9, micro_matched, micro_retrieved, micro_relevant)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
+
+
+# -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
+_REGISTRY = {
+    "extract_text_fingerprint": (extract_text_fingerprint, _TEXT_FP_SQL),
+    "extract_spans_fingerprint": (extract_spans_fingerprint, _SPANS_FP_SQL),
+    "doc_scores_fingerprint": (doc_scores_fingerprint, _SCORES_FP_SQL),
+    "status_counts": (status_counts_query, _STATUS_COUNTS_SQL),
+    "worst_documents": (worst_documents_query, _worst_docs_sql()),
+    "density_text_fingerprint": (density_text_fingerprint, _DENSITY_FP_SQL),
+    "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
+    "kmeans_embeddings": (kmeans_embeddings, _kmeans_sql()),
+    "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ivf_kmeans_sql()),
+    "corpus_length_percentiles": (corpus_length_percentiles, _PERCENTILES_SQL),
+    "corpus_length_histogram": (corpus_length_histogram, _HISTOGRAM_SQL),
+    "extract_report_exact": (extract_report_exact, _report_exact_sql()),
+    "lang_source_pivot": (lang_source_pivot, _pivot_sql()),
+    "ann_quality_filtered_topk": (ann_quality_filtered_topk, _ANN_QUALITY_SQL),
+    "q_events_props_map": (q_events_props_map, _EVENTS_PROPS_MAP_SQL),
+}

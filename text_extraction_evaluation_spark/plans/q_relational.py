@@ -1,0 +1,382 @@
+"""Relational battery (star schema) — SURVEY.md §2.2/2.4-2.7.
+
+Split out of plans/queries.py (round 3); queries.py re-exports
+everything, so import paths are unchanged for callers."""
+
+from __future__ import annotations
+
+import operator
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    MINHASH_BANDS,
+    MINHASH_ROWS_PER_BAND,
+    MINHASH_SEEDS,
+    SIMHASH_BITS,
+    md5_int,
+    minhash_signature,
+    tokens_col,
+    word_shingles,
+)
+from ..algo.stoplists import _SYNTH_STOPWORDS
+from .common import (  # noqa: F401 — shared helpers + SQL fragments
+    STOPWORDS_SORTED,
+    _STOP_SQL,
+    _dec,
+    _docs_par,
+    _t,
+)
+
+
+# ---------------------------------------------------------------------------
+# Relational battery (star schema) — SURVEY.md §2.2/2.4/2.5/2.6/2.7
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-style wide aggregation (TPC-H Q1 shape): filter pushdown to the
+    parquet scan + hash aggregate with map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    charge = disc_price * (one + _dec("l_tax", "decimal(3,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity", "decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J + A + O1 top-k: aggregate orders BEFORE the join (smaller
+    shuffle), broadcast the customer dim, window row_number top-20."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue", "n_orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+_TOP_CUST_SQL = """
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT c_custkey, c_name, c_mktsegment, revenue, n_orders,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk
+  FROM rev JOIN customer ON o_custkey = c_custkey
+)
+SELECT * FROM j WHERE rk <= 20
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    Dims are broadcast; the only big shuffle is lineitem⋈orders on
+    orderkey (at 100 TB: co-partition/bucket both on orderkey)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_NATION_REV_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the same shape as the resume pending-work join
+    J2, SURVEY.md §2.4): customers with no URGENT-priority order.
+    (Every customer has SOME order in this fixture, so the anti-join is
+    against the urgent subset — non-trivial result at every SF.)"""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_ANTI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+"""
+
+
+def q_urgent_shipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having at least one early-shipped line."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_rank_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 window ranking: top-3 customers by acctbal per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "rk", "c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+_RANK_SQL = """
+SELECT n_name, rk, c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT n_name, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rk <= 3
+"""
+
+
+def q_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup over (status, priority) with subtotal rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the event stream table."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column (SURVEY.md §2.10)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.min("k").alias("min_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag over (user, ts), new session when the gap
+    exceeds 30 minutes, session id via running sum — the canonical
+    stateful-over-window pattern (stream-analytics shape, batch form)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so ntz->timestamp->
+    # long is floored epoch seconds (matches the oracle's floor(epoch()))
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq", F.sum("new_sess").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(epoch) - F.min(epoch)).alias("duration_sec"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("session_value"),
+        )
+    )
+
+
+_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS duration_sec,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS session_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q2 skeleton): suppliers whose
+    account balance equals the minimum within their nation — decorrelated
+    by Catalyst into an aggregate + join."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    min_bal = sup.groupBy("s_nationkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        sup.join(F.broadcast(min_bal), "s_nationkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+_MIN_COST_SQL = """
+SELECT n_name, s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+FROM supplier s
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (
+  SELECT MIN(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+)
+"""
+
+
+
+
+# -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
+_REGISTRY = {
+    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "q_top_customers": (q_top_customers, _TOP_CUST_SQL),
+    "q_nation_revenue": (q_nation_revenue, _NATION_REV_SQL),
+    "q_customers_without_orders": (q_customers_without_orders, _ANTI_SQL),
+    "q_urgent_shipped_orders": (q_urgent_shipped_orders, _SEMI_SQL),
+    "q_rank_customers_window": (q_rank_customers_window, _RANK_SQL),
+    "q_rollup_order_counts": (q_rollup_order_counts, _ROLLUP_SQL),
+    "q_events_hourly": (q_events_hourly, _EVENTS_HOURLY_SQL),
+    "q_event_sessions": (q_event_sessions, _SESSIONS_SQL),
+    "q_min_cost_supplier": (q_min_cost_supplier, _MIN_COST_SQL),
+    "q_events_json": (q_events_json, _EVENTS_JSON_SQL),
+}
