@@ -750,6 +750,170 @@ FROM documents GROUP BY lang
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-5 terms per language by corpus-summed tf-idf — the
+    keyword/vocabulary profiling step of a training-data mix report.
+
+    Cross-engine exactness: idf is the INTEGER-quantized variant
+    ``idf_e6 = (N_docs * 1e6) DIV df`` (a pure inverse-document-
+    frequency ratio, no transcendental log whose last ulp could differ
+    between engines), so every score is an exact BIGINT sum.
+
+    Scale shape: one explode -> (doc, term) hash aggregate for tf, one
+    (term) aggregate for df, then an EQUI-join of tf onto the df table
+    on the term key — at 100 TB the term dictionary is itself large, so
+    this is a plain shuffle join (NOT a broadcast; AQE may still elect
+    one at small scale). N_docs rides in as a broadcast one-row
+    aggregate, never a driver action (it shows as a
+    BroadcastNestedLoopJoin in the plan, but with a single-row build
+    side that is an O(n) map-side attach — the same pattern as
+    dedup_exact's offset). The final top-5 is a per-lang ranking window
+    over the (lang, term) aggregate — tie-broken on the term for
+    determinism."""
+    docs = _docs_par(spark, sf_dir)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens_col("text")).alias("term")
+    ).select("doc_id", "lang", F.lower("term").alias("term"))
+    tf = toks.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "idf_e6",
+            F.expr("(n_docs * CAST(1000000 AS BIGINT)) DIV df"),
+        )
+        .groupBy("lang", "term")
+        .agg(F.sum(F.col("tf") * F.col("idf_e6")).alias("score_e6"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score_e6"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 5)
+        .select("lang", "term", "score_e6", "term_rank")
+    )
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, lang, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT lang, term,
+         CAST(SUM(tf * ((SELECT COUNT(*) FROM documents) * 1000000 // df)) AS BIGINT)
+           AS score_e6
+  FROM tf JOIN df USING (term)
+  GROUP BY 1, 2
+)
+SELECT lang, term, score_e6, term_rank
+FROM (
+  SELECT lang, term, score_e6,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_e6 DESC, term) AS term_rank
+  FROM scored
+)
+WHERE term_rank <= 5
+"""
+
+
+# Decontamination: 8-token shingles (the n-gram length common in
+# published decontamination pipelines — long enough that shared
+# shingles imply copying, not phrase reuse).
+DECONTAM_SHINGLE_N = 8
+DECONTAM_MAX_DF = 256
+
+
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training-corpus documents whose
+    8-token shingles collide with the held-out benchmark split — the
+    train/test-leak check every serious pretraining mix runs. Here the
+    'benchmark' is the googlenews half of the fixture corpus (sources
+    src10..src19) and the 'training corpus' is the rest; the fixture's
+    planted cross-source near-dups make the answer non-empty.
+
+    Scale shape: both sides explode to (doc_id, shingle) and meet in a
+    shingle EQUI-join — the shuffle carries sketches, never documents.
+    The same hot-key df cap as dedup_ngram_jaccard (> DECONTAM_MAX_DF
+    docs ⇒ boilerplate, dropped from index AND size terms via a
+    broadcast anti-join) bounds the worst key at O(k) instead of
+    O(k^2); standard decontamination drops ultra-common n-grams for
+    the same reason. Output: one row per contaminated corpus doc with
+    the hit counts and the contaminated fraction of its shingles."""
+    docs = _docs_par(spark, sf_dir)
+    is_bench = F.substring("source", 4, 10).cast("int") >= 10
+    sh = docs.select(
+        "doc_id",
+        is_bench.alias("is_bench"),
+        word_shingles(tokens_col("text"), n=DECONTAM_SHINGLE_N).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    inv = sh.select("doc_id", "is_bench", F.explode("sh").alias("s"))
+    hot = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DECONTAM_MAX_DF)
+        .select("s")
+    )
+    inv = inv.join(F.broadcast(hot), "s", "left_anti")
+    corpus = inv.filter(~F.col("is_bench")).select("doc_id", "s")
+    bench = inv.filter(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_doc_id"), "s"
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_hits"),
+            F.countDistinct("bench_doc_id").alias("n_bench_docs"),
+        )
+    )
+    contamination = F.round(
+        F.col("n_hits").cast("double") / F.col("n_shingles"), 6
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id", "n_shingles", "n_hits", "n_bench_docs",
+        contamination.alias("contamination"),
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(substr(source, 4) AS INT) >= 10 AS is_bench,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_bench,
+         list_distinct([array_to_string(w[i:i+{DECONTAM_SHINGLE_N - 1}], ' ')
+                        for i in range(1, len(w) - {DECONTAM_SHINGLE_N - 2})]) AS sl
+  FROM t WHERE len(w) >= {DECONTAM_SHINGLE_N}
+), inv AS (
+  SELECT doc_id, is_bench, unnest(sl) AS s FROM sh
+), cold AS (
+  SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= {DECONTAM_MAX_DF}
+), inv2 AS (
+  SELECT inv.doc_id, inv.is_bench, inv.s FROM inv JOIN cold USING (s)
+), corpus AS (
+  SELECT doc_id, s FROM inv2 WHERE NOT is_bench
+), bench AS (
+  SELECT doc_id AS bench_doc_id, s FROM inv2 WHERE is_bench
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, COUNT(DISTINCT s) AS n_hits,
+         COUNT(DISTINCT bench_doc_id) AS n_bench_docs
+  FROM corpus JOIN bench USING (s)
+  GROUP BY doc_id
+)
+SELECT h.doc_id, n_shingles, n_hits, n_bench_docs,
+       ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 6) AS contamination
+FROM hits h JOIN sizes USING (doc_id)
+"""
 
 
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
@@ -768,4 +932,6 @@ _REGISTRY = {
     "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_sql(pairs=True)),
     "lang_distribution": (lang_distribution, _LANG_DIST_SQL),
     "doc_containment": (doc_containment, _CONTAINMENT_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
+    "benchmark_decontamination": (benchmark_decontamination, _DECONTAM_SQL),
 }

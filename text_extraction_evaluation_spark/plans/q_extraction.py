@@ -806,6 +806,63 @@ WHERE n_events = (SELECT COUNT(*) FROM events)
 """
 
 
+def host_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl census over the pages table: page count, distinct
+    urls, crawls per url — the skew report that motivates
+    operators.extract.salted_repartition (the fixture plants one hot
+    host, 'skew.example', holding an entire source's pages; at Common-
+    Crawl scale single hosts hold millions of pages and a plain
+    url-hash partitioning puts them in one task). Host parse is a JVM
+    regexp (whole-stage codegen), one hash aggregate — the cheapest
+    possible skew diagnostic, run before choosing a salt factor.
+
+    Oracle: the synthesis rules (sources.synth.url_for + the second-
+    crawl selector) are deterministic integer functions of doc_id and
+    source, so the DuckDB twin reconstructs the same census from the
+    documents table."""
+    from ..sources.readers import pages_df
+
+    pages = pages_df(spark, sf_dir)
+    host = F.regexp_extract("url", r"^http://([^/]+)/", 1)
+    return (
+        pages.select(host.alias("host"), "url")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("url").alias("n_urls"),
+        )
+        .withColumn(
+            "crawls_per_url",
+            F.round(F.col("n_pages").cast("double") / F.col("n_urls"), 6),
+        )
+    )
+
+
+def _host_census_sql() -> str:
+    from ..sources.synth import (
+        HOT_HOST_SOURCE,
+        N_HOSTS,
+        SECOND_CRAWL_MOD,
+        SECOND_CRAWL_REM,
+    )
+
+    return f"""
+WITH pages AS (
+  SELECT doc_id, source FROM documents
+  UNION ALL
+  SELECT doc_id, source FROM documents
+  WHERE doc_id % {SECOND_CRAWL_MOD} = {SECOND_CRAWL_REM}
+), h AS (
+  SELECT CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END AS host,
+         doc_id
+  FROM pages
+)
+SELECT host, COUNT(*) AS n_pages, COUNT(DISTINCT doc_id) AS n_urls,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 6) AS crawls_per_url
+FROM h GROUP BY host
+"""
 
 
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
@@ -825,4 +882,5 @@ _REGISTRY = {
     "lang_source_pivot": (lang_source_pivot, _pivot_sql()),
     "ann_quality_filtered_topk": (ann_quality_filtered_topk, _ANN_QUALITY_SQL),
     "q_events_props_map": (q_events_props_map, _EVENTS_PROPS_MAP_SQL),
+    "host_skew_census": (host_skew_census, _host_census_sql()),
 }
