@@ -184,6 +184,9 @@ def main() -> None:
         "quality_filter",
         "doc_sample_stratified",
         "doc_containment",
+        "tfidf_top_terms",
+        "quality_repetition",
+        "host_pagerank",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

@@ -49,8 +49,8 @@ def md5_int(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
-def word_shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a token array, built with
+def word_shingles_all(tok: Column, n: int = 3) -> Column:
+    """ALL n-word shingles (positional, duplicates kept), built with
     ``slice`` + ``zip_with`` rather than per-index ``element_at``:
     Catalyst inlines the token expression into higher-order lambdas, so
     an element_at formulation re-evaluates the underlying ``split()``
@@ -62,7 +62,13 @@ def word_shingles(tok: Column, n: int = 3) -> Column:
     for k in range(1, n):
         shifted = F.slice(tok, 1 + k, length)
         shingle = F.zip_with(shingle, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(shingle)
+    return shingle
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token array (set semantics, the
+    sketch-input variant)."""
+    return F.array_distinct(word_shingles_all(tok, n))
 
 
 def minhash_signature(shingles: Column) -> list[Column]:

@@ -21,6 +21,7 @@ from ..functions.text import (
     minhash_signature,
     tokens_col,
     word_shingles,
+    word_shingles_all,
 )
 from ..algo.stoplists import _SYNTH_STOPWORDS
 from .common import (  # noqa: F401 — shared helpers + SQL fragments
@@ -916,6 +917,163 @@ FROM hits h JOIN sizes USING (doc_id)
 """
 
 
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1): per-doc
+    duplicate-n-gram and top-token fractions, the second quality gate
+    (after the C4-style ``quality_filter``) every pretraining corpus
+    runs to drop boilerplate-looping and keyboard-mash pages.
+
+    Metrics: fraction of tokens that are the single most frequent
+    token, and the duplicate fraction of positional 2-grams / 3-grams
+    (1 - distinct/total). The flag uses PURE-INTEGER threshold rules
+    (top-token > 20%, dup-2gram > 50%, dup-3gram > 20%, compared as
+    ``cnt * k > n`` products) so no float boundary can flap between
+    engines.
+
+    Scale shape: entirely map-side — every metric is a higher-order
+    array expression over the doc's own token array (no explode, no
+    shuffle, whole-stage codegen). The top-token count is
+    O(distinct · n) per row, the right trade versus an explode +
+    (doc, term) hash-aggregate until docs reach ~10^5 tokens; the
+    docstring of ``tfidf_top_terms`` shows the aggregate shape for
+    corpus-level term stats."""
+    docs = _docs_par(spark, sf_dir)
+    w = tokens_col("text")
+    n = F.size(w)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda x: F.size(F.filter(w, lambda y: y == x)),
+        )
+    )
+    sh2 = word_shingles_all(w, 2)
+    sh3 = word_shingles_all(w, 3)
+    total2, total3 = F.size(sh2), F.size(sh3)
+    dup2 = total2 - F.size(F.array_distinct(sh2))
+    dup3 = total3 - F.size(F.array_distinct(sh3))
+    frac = lambda c, tot: F.when(  # noqa: E731
+        tot > 0, F.round(c.cast("double") / tot, 6)
+    ).otherwise(F.lit(0.0))
+    repetitive = (
+        (top_cnt * 5 > n) | (dup2 * 2 > total2) | (dup3 * 5 > total3)
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        top_cnt.alias("top_token_cnt"),
+        dup2.alias("dup_2gram_cnt"),
+        dup3.alias("dup_3gram_cnt"),
+        frac(top_cnt, n).alias("top_token_frac"),
+        frac(dup2, total2).alias("dup_2gram_frac"),
+        frac(dup3, total3).alias("dup_3gram_frac"),
+        repetitive.alias("repetitive"),
+    )
+
+
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang, w, len(w) AS n,
+         [array_to_string(w[i:i+1], ' ')
+          FOR i IN range(1, GREATEST(len(w) - 0, 1))] AS sh2,
+         [array_to_string(w[i:i+2], ' ')
+          FOR i IN range(1, GREATEST(len(w) - 1, 1))] AS sh3
+  FROM t
+), m AS (
+  SELECT doc_id, lang, n,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x)))) AS top_cnt,
+         len(sh2) AS total2, len(sh2) - len(list_distinct(sh2)) AS dup2,
+         len(sh3) AS total3, len(sh3) - len(list_distinct(sh3)) AS dup3
+  FROM sh
+)
+SELECT doc_id, lang, n AS n_tokens, top_cnt AS top_token_cnt,
+       dup2 AS dup_2gram_cnt, dup3 AS dup_3gram_cnt,
+       CASE WHEN n > 0 THEN ROUND(CAST(top_cnt AS DOUBLE) / n, 6) ELSE 0.0 END
+         AS top_token_frac,
+       CASE WHEN total2 > 0 THEN ROUND(CAST(dup2 AS DOUBLE) / total2, 6) ELSE 0.0 END
+         AS dup_2gram_frac,
+       CASE WHEN total3 > 0 THEN ROUND(CAST(dup3 AS DOUBLE) / total3, 6) ELSE 0.0 END
+         AS dup_3gram_frac,
+       CAST(top_cnt * 5 > n OR dup2 * 2 > total2 OR dup3 * 5 > total3 AS INT)
+         AS repetitive
+FROM m
+"""
+
+
+# Mixture cap: no cell may be up-weighted past 5 epochs (the standard
+# repetition ceiling in published pretraining-mix recipes).
+MIXTURE_MAX_WEIGHT_E6 = 5_000_000
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning: per (lang, source) token census plus the
+    sampling weight that would equalize every cell's token share in
+    the final mixture, capped at 5 epochs — the step that turns corpus
+    profiling into a sampling plan for the data loader.
+
+    Integer-quantized on both engines: ``share_e6`` is the cell's
+    token share in micro-units (BIGINT DIV), ``weight_e6`` the
+    up/down-sampling multiplier ``target/share`` in micro-units.
+
+    Scale shape: one (lang, source) hash aggregate over a map-side
+    token count; the corpus totals ride in as a one-row broadcast
+    aggregate (never a driver action). Output is one row per cell —
+    tiny at any corpus scale."""
+    docs = _docs_par(spark, sf_dir)
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    totals = cells.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    share_e6 = F.expr("(n_tokens * CAST(1000000 AS BIGINT)) DIV total_tokens")
+    raw_w = F.expr(
+        "((CAST(1000000 AS BIGINT) DIV n_cells) * CAST(1000000 AS BIGINT))"
+        " DIV ((n_tokens * CAST(1000000 AS BIGINT)) DIV total_tokens)"
+    )
+    return (
+        cells.join(F.broadcast(totals))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            share_e6.alias("share_e6"),
+            F.least(raw_w, F.lit(MIXTURE_MAX_WEIGHT_E6)).alias("weight_e6"),
+            (raw_w > MIXTURE_MAX_WEIGHT_E6).cast("int").alias("capped"),
+        )
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1, 2
+), totals AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_cells
+  FROM cells
+)
+SELECT lang, source, n_docs, n_tokens,
+       (n_tokens * 1000000) // total_tokens AS share_e6,
+       LEAST(((1000000 // n_cells) * 1000000)
+               // ((n_tokens * 1000000) // total_tokens),
+             {MIXTURE_MAX_WEIGHT_E6}) AS weight_e6,
+       CAST(((1000000 // n_cells) * 1000000)
+              // ((n_tokens * 1000000) // total_tokens)
+            > {MIXTURE_MAX_WEIGHT_E6} AS INT) AS capped
+FROM cells CROSS JOIN totals
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
@@ -934,4 +1092,6 @@ _REGISTRY = {
     "doc_containment": (doc_containment, _CONTAINMENT_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "benchmark_decontamination": (benchmark_decontamination, _DECONTAM_SQL),
+    "quality_repetition": (quality_repetition, _REPETITION_SQL),
+    "corpus_mixture_weights": (corpus_mixture_weights, _MIXTURE_SQL),
 }

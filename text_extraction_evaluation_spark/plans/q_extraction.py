@@ -865,6 +865,136 @@ FROM h GROUP BY host
 """
 
 
+# PageRank quantization / iteration constants (shared by the Spark plan
+# and the unrolled-CTE oracle — the two sides must do the SAME integer
+# arithmetic in the SAME order).
+PR_SCALE = 10**12
+PR_ITERS = 5
+PR_EDGE_MULT = 7
+PR_EDGE_ADD = 3
+
+
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank — the link-centrality signal crawl frontiers
+    and corpus quality weights use (alongside the per-doc filters).
+    The fixture link graph is deterministic: each document emits one
+    edge from its own host (the url_for rule, including the planted
+    hot host) to host ``(doc_id * 7 + 3) mod N_HOSTS`` — SQL-
+    reconstructable, so the oracle is exact.
+
+    The iterative-graph shape done as composed DataFrame ops with ZERO
+    driver actions (same discipline as kmeans_embeddings /
+    dedup_components): per iteration one equi-join of the weighted
+    edge list with the rank table on src and one hash aggregate on
+    dst — at web scale (10^8 hosts, 10^11 edges) that is one shuffle
+    per iteration, partial-agg friendly, with the rank table orders of
+    magnitude smaller than the edge list. Ranks here flow through the
+    join un-broadcast (AQE may elect a broadcast at fixture scale; at
+    10^8 hosts it stays a shuffle join — the plan is valid either way).
+
+    Determinism across engines: ranks are integer-quantized
+    (``rank_e12``, mass ``PR_SCALE`` split evenly at init), every
+    division is integer DIV (truncation identical in Spark and
+    DuckDB), damping 0.85 applied as ``(85 * x) DIV 100``. Truncation
+    sheds a few units of mass per step — identically on both engines.
+    Dangling hosts (no outlinks — only ever the planted hot host's
+    targets) simply leak their damped mass, the standard simplified
+    treatment."""
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    src = F.when(
+        F.col("source") == HOT_HOST_SOURCE, F.lit("skew.example")
+    ).otherwise(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % N_HOSTS).cast("string"),
+            F.lit(".example"),
+        )
+    )
+    dst = F.concat(
+        F.lit("host"),
+        ((F.col("doc_id") * PR_EDGE_MULT + PR_EDGE_ADD) % N_HOSTS).cast("string"),
+        F.lit(".example"),
+    )
+    edges = (
+        docs.select(src.alias("src"), dst.alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+    ew = edges.join(deg, "src")
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n_tbl = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = F.expr(f"(15 * (CAST({PR_SCALE} AS BIGINT) DIV n)) DIV 100")
+    ranks = nodes.join(F.broadcast(n_tbl)).select(
+        "host", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n").alias("rank_e12")
+    )
+    for _ in range(PR_ITERS):
+        inc = (
+            ew.join(ranks, ew["src"] == ranks["host"])
+            .select("dst", F.expr("(rank_e12 * w) DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(n_tbl))
+            .join(inc, nodes["host"] == inc["dst"], "left")
+            .select(
+                "host",
+                (
+                    base
+                    + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")
+                ).alias("rank_e12"),
+            )
+        )
+    return ranks
+
+
+def _pagerank_sql() -> str:
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    pre = f"""
+WITH e0 AS (
+  SELECT CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END AS src,
+         'host' || CAST((doc_id * {PR_EDGE_MULT} + {PR_EDGE_ADD}) % {N_HOSTS} AS VARCHAR)
+           || '.example' AS dst
+  FROM documents
+), edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY 1, 2
+), dg AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edges GROUP BY 1
+), ew AS (
+  SELECT edges.src, edges.dst, CAST(w AS BIGINT) AS w, deg
+  FROM edges JOIN dg USING (src)
+), nodes AS (
+  SELECT DISTINCT host
+  FROM (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), r0 AS (
+  SELECT host, CAST({PR_SCALE} AS BIGINT) // n AS rank_e12
+  FROM nodes CROSS JOIN nn
+)"""
+    its = []
+    for i in range(PR_ITERS):
+        its.append(f""", inc{i} AS (
+  SELECT dst, CAST(SUM((rank_e12 * w) // deg) AS BIGINT) AS inc
+  FROM ew JOIN r{i} ON r{i}.host = ew.src GROUP BY dst
+), r{i + 1} AS (
+  SELECT nodes.host,
+         (15 * (CAST({PR_SCALE} AS BIGINT) // n)) // 100
+           + (85 * COALESCE(inc, CAST(0 AS BIGINT))) // 100 AS rank_e12
+  FROM nodes CROSS JOIN nn LEFT JOIN inc{i} ON inc{i}.dst = nodes.host
+)""")
+    return pre + "".join(its) + f"\nSELECT host, rank_e12 FROM r{PR_ITERS}"
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "extract_text_fingerprint": (extract_text_fingerprint, _TEXT_FP_SQL),
@@ -883,4 +1013,5 @@ _REGISTRY = {
     "ann_quality_filtered_topk": (ann_quality_filtered_topk, _ANN_QUALITY_SQL),
     "q_events_props_map": (q_events_props_map, _EVENTS_PROPS_MAP_SQL),
     "host_skew_census": (host_skew_census, _host_census_sql()),
+    "host_pagerank": (host_pagerank, _pagerank_sql()),
 }

@@ -366,6 +366,79 @@ WHERE s_acctbal = (
 
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS decorrelated to a LEFT SEMI join): count
+    orders per priority in a quarter where at least one lineitem
+    shipped after the order date (late-shipment proxy — the fixture has
+    no commit/receipt dates). The semi join carries only the join key
+    after each side's filter is pushed to its scan; at scale this is
+    the canonical "existence probe" — no row multiplication, the probe
+    side never leaves its partitioning."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan + conjunctive filter + single-row aggregate —
+    the predicate-pushdown/column-pruning showcase (every predicate
+    reaches the parquet scan as PushedFilters; ReadSchema is 4 columns;
+    asserted in tests/test_plans.py). Decimal partial sums keep the
+    result exact under any aggregation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec("l_discount", "decimal(3,2)")
+    revenue = _dec("l_extendedprice") * disc
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.09
+  AND l_quantity < 24
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
@@ -379,4 +452,6 @@ _REGISTRY = {
     "q_event_sessions": (q_event_sessions, _SESSIONS_SQL),
     "q_min_cost_supplier": (q_min_cost_supplier, _MIN_COST_SQL),
     "q_events_json": (q_events_json, _EVENTS_JSON_SQL),
+    "q4_order_priority": (q4_order_priority, _Q4_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
 }
