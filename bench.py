@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import pathlib
 import sys
 import time
 
@@ -91,6 +92,17 @@ def main() -> None:
 
     # host noise denominator: capacity before any Spark work starts
     extras["host_ops_before"] = _host_capacity()
+    # reference numerator: the session-peak capacity recorded by the
+    # scaling bench (same probe code) — throughput readings taken in a
+    # degraded co-tenant epoch are comparable across rounds only after
+    # scaling by host_ops_*/host_ops_peak_ref
+    try:
+        with open(pathlib.Path(__file__).parent / "BENCH" / "scaling.json") as f:
+            extras["host_ops_peak_ref"] = max(
+                json.load(f)["host_calibration_ops"]
+            )
+    except (OSError, KeyError, ValueError):
+        pass
 
     spark = get_spark(
         "bench",

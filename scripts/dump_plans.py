@@ -75,6 +75,12 @@ def main() -> None:
          "all-pairs formulation survives only as a test twin"),
         ("doc_containment", "winnowing containment: sketch-sized "
          "equi-join on sampled rolling-hash fingerprints"),
+        ("host_pagerank", "iterative graph rank as composed DataFrame "
+         "ops: per iteration one edge-list equi-join on src + one dst "
+         "hash aggregate — no cartesian product, no driver actions"),
+        ("quality_repetition", "Gopher repetition metrics entirely "
+         "map-side: higher-order array expressions, no explode, no "
+         "shuffle — a pure scan-project plan"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
