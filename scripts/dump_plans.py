@@ -93,11 +93,21 @@ def main() -> None:
         "called out per section are asserted in tests/test_plans.py; this\n"
         "file is the human-readable evidence.\n"
     )
+    # iterative plans (pagerank's 5 unrolled rounds) explode to
+    # thousands of lines of repeated structure; keep the dump readable
+    MAX_LINES = 400
     for title, why, df in sections:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        out.write(f"\n## {title}\n\n{why}.\n\n```\n{buf.getvalue().strip()}\n```\n")
+        plan = buf.getvalue().strip()
+        lines = plan.splitlines()
+        if len(lines) > MAX_LINES:
+            plan = "\n".join(lines[:MAX_LINES]) + (
+                f"\n... [truncated: {len(lines) - MAX_LINES} more lines of "
+                "the same repeated per-iteration structure]"
+            )
+        out.write(f"\n## {title}\n\n{why}.\n\n```\n{plan}\n```\n")
 
     (ROOT / "PLANS.md").write_text(out.getvalue())
     print("wrote PLANS.md", len(out.getvalue()), "bytes")
