@@ -25,15 +25,19 @@ def _noop_write(df) -> int:
 
 def _host_capacity(seconds: float = 2.0) -> float:
     """Host-capacity probe (same burn as scripts/scaling_bench.py):
-    aggregate ops/s of a 32-process pure-Python loop, run in a clean
-    subprocess (no Spark state). This sandbox is co-tenant virtualized
-    hardware whose capacity oscillates on a ~10-minute timescale; the
-    probe result is the noise DENOMINATOR for cross-round comparisons
-    of the absolute throughput numbers below — a bench run taken in a
-    degraded epoch shows a proportionally lower probe value. Identical
-    code across rounds, so probe ratios == capacity ratios."""
+    aggregate ops/s of an N-process pure-Python loop (N = machine
+    cores, capped at 32 to stay comparable with the scaling bench's
+    32-process probe), run in a clean subprocess (no Spark state).
+    This sandbox is co-tenant virtualized hardware whose capacity
+    oscillates on a ~10-minute timescale; the probe result is the
+    noise DENOMINATOR for cross-round comparisons of the absolute
+    throughput numbers below — a bench run taken in a degraded epoch
+    shows a proportionally lower probe value. Identical code across
+    rounds, so probe ratios == capacity ratios. Returns -1.0 (and
+    prints the reason to stderr) if the probe cannot run."""
     import subprocess
 
+    procs = min(32, os.cpu_count() or 1)
     code = r"""
 import multiprocessing as mp, time, sys
 def burn(sec):
@@ -44,26 +48,26 @@ def burn(sec):
         c += 20000
     return c
 if __name__ == '__main__':
-    sec = float(sys.argv[1])
-    with mp.Pool(32) as p:
-        total = sum(p.map(burn, [sec] * 32))
+    sec = float(sys.argv[1]); procs = int(sys.argv[2])
+    with mp.Pool(procs) as p:
+        total = sum(p.map(burn, [sec] * procs))
     print(total / sec)
 """
-    cmd = [sys.executable, "-c", code, str(seconds)]
+    cmd = [sys.executable, "-c", code, str(seconds), str(procs)]
     if os.path.exists("/usr/bin/taskset"):
-        cmd = ["taskset", "-c", "0-31"] + cmd
+        cmd = ["taskset", "-c", f"0-{procs - 1}"] + cmd
     try:
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         return round(float(out.stdout.strip().splitlines()[-1]), 0)
-    except Exception:
+    except Exception as ex:
+        print(f"host-capacity probe failed: {ex!r}", file=sys.stderr)
         return -1.0
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
-    # The flagship extraction pipeline runs at a LARGER replication:
+    # The flagship extraction pipeline runs at a LARGE replication:
     # the pipeline carries ~2 s of fixed per-job overhead (synth stage
     # launch, window shuffle barrier, task-tail at 32 cores) that at
     # replicate=32 (160k docs, ~4 s) is half the wall clock and at
@@ -229,7 +233,6 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
-                "replicate": replicate,
                 "replicate_flagship": replicate_flagship,
                 **extras,
             }

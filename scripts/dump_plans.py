@@ -104,8 +104,8 @@ def main() -> None:
         lines = plan.splitlines()
         if len(lines) > MAX_LINES:
             plan = "\n".join(lines[:MAX_LINES]) + (
-                f"\n... [truncated: {len(lines) - MAX_LINES} more lines of "
-                "the same repeated per-iteration structure]"
+                f"\n... [truncated: {len(lines) - MAX_LINES} more lines — "
+                "regenerate with MAX_LINES raised to see the full plan]"
             )
         out.write(f"\n## {title}\n\n{why}.\n\n```\n{plan}\n```\n")
 

@@ -178,3 +178,41 @@ def test_four_in_flight_failure_manifest_consistent(spark, pages, tmp_path_facto
     assert len(cat.committed_chunks("extracted")) == 8
     df = read_extracted(spark, root)
     assert df.count() == df.select("url").distinct().count() == pages.count()
+
+
+def test_vacuum_reclaims_orphan_staging_only(spark, pages, tmp_path_factory):
+    """vacuum() removes staging dirs orphaned by hard-killed commit
+    attempts and never touches committed chunks; a failed (exception)
+    commit cleans its own staging dir without vacuum."""
+    import os
+
+    from text_extraction_evaluation_spark.plans.jobs import run_extraction_job
+    from text_extraction_evaluation_spark.sources.catalog import LocalCatalog
+
+    root = str(tmp_path_factory.mktemp("vacuum"))
+    run_extraction_job(spark, pages, root, n_buckets=4, buckets_per_chunk=2)
+    cat = LocalCatalog(root)
+    before = set(cat.committed_chunks("extracted"))
+    assert before
+
+    # a failed attempt must not leak staging (finally-cleanup)
+    class Boom(Exception):
+        pass
+
+    class _Exploding:
+        write = property(lambda self: (_ for _ in ()).throw(Boom()))
+
+    with pytest.raises(Boom):
+        cat.commit_append(_Exploding(), "extracted", "bZZZZ-ZZZZ")
+    tdir = os.path.join(root, "extracted")
+    assert not [p for p in os.listdir(tdir) if ".staging-" in p]
+
+    # simulate a hard-killed attempt: orphan staging dir on disk
+    orphan = os.path.join(tdir, "chunk=b9999-9999.staging-deadbeef")
+    os.makedirs(orphan)
+    removed = cat.vacuum("extracted")
+    assert removed == [orphan]
+    assert not os.path.exists(orphan)
+    assert set(cat.committed_chunks("extracted")) == before
+    for c in cat.committed_chunks("extracted").values():
+        assert spark.read.parquet(c["path"]).count() > 0

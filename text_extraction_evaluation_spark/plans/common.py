@@ -1,43 +1,14 @@
-"""Oracle-checked query registry (driver contract, __spark_entry__.py).
-
-Every SQL-expressible operator from SURVEY.md §2 — plus the
-training-data-pipeline operators (dedup exact/MinHash-LSH/SimHash/
-n-gram-Jaccard, similarity search, text quality/token stats,
-fingerprinting) — gets a Spark DataFrame implementation here AND an
-ANSI-SQL twin the driver runs through DuckDB at sf0.01.
-
-Cross-engine determinism rules used throughout:
-* money/quantity sums go through DECIMAL casts (exact partial-agg-order
-  -independent arithmetic) and are cast to DOUBLE at the end;
-* double averages are ``round(x, 6)``;
-* hash primitives are md5-hex-prefix -> bigint (identical in both
-  engines), never xxhash64/murmur (engine-specific);
-* every computed column is aliased identically on both sides (the
-  driver's value-hash sorts columns by name).
-
-Scale notes are attached per query: broadcast hints on dimension
-tables, aggregate-before-join where legal, and no driver-side loops.
-"""
+"""Shared helpers for the plans.q_* query modules: fixture readers
+(_t, _docs_par), the cross-engine DECIMAL cast (_dec), and the
+stopword list in Python + SQL-literal form. The query registry itself
+lives in the topic modules and is merged in plans.queries (the stable
+import surface / driver contract docs live there)."""
 
 from __future__ import annotations
 
-import operator
-from functools import reduce
-
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from ..functions.text import (
-    MINHASH_BANDS,
-    MINHASH_ROWS_PER_BAND,
-    MINHASH_SEEDS,
-    SIMHASH_BITS,
-    md5_int,
-    minhash_signature,
-    tokens_col,
-    word_shingles,
-)
 from ..algo.stoplists import _SYNTH_STOPWORDS
 
 

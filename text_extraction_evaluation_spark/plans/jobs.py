@@ -101,8 +101,23 @@ def run_extraction_job(
 
     state = {"committed": 0}
     lock = threading.Lock()
+    # fail-fast barrier: Future.cancel() only stops futures that never
+    # started, and a worker can legally pick up a queued chunk in the
+    # window between the first failure and the cancel sweep — the abort
+    # flag makes late pickups no-ops, so a failure bounds commits at
+    # (counted commits + in-flight workers), never the whole queue
+    abort = threading.Event()
 
     def do_chunk(chunk_buckets: list[int], chunk_id: str) -> None:
+        if abort.is_set():
+            return
+        try:
+            _do_chunk(chunk_buckets, chunk_id)
+        except BaseException:
+            abort.set()
+            raise
+
+    def _do_chunk(chunk_buckets: list[int], chunk_id: str) -> None:
         chunk = bucketed.filter(F.col("url_bucket").isin(chunk_buckets))
         if done_urls is not None:
             chunk = chunk.join(done_urls, "url", "left_anti")  # J2 resume

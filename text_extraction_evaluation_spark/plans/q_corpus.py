@@ -202,8 +202,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dropped from BOTH the inverted index AND the set-size term, so
     the result is exactly "Jaccard over shingles with df <= cap" — the
     standard stop-shingle / prefix-filter semantic, mirrored in the
-    oracle SQL. The hot set is tiny by construction (<= total
-    shingle-instances / cap keys), hence the broadcast anti-join. The
+    oracle SQL. The cap is applied as a COUNT window over the shingle
+    key, not a separate aggregate + anti-join: the window's exchange
+    IS the shuffle the pair join needs anyway, so Catalyst's
+    ReusedExchange evaluates the CPU-bound tokenize+shingle+explode
+    lineage once instead of once per branch (r2-review finding). The
     fixture corpus has no hot shingles, so the cap is semantics-
     preserving there; tests/test_dedup.py plants a hot shingle and
     asserts the bounded pair count."""
@@ -211,14 +214,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", word_shingles(tokens_col("text")).alias("sh")
     ).filter(F.size("sh") > 0)
-    inv = sh.select("doc_id", F.explode("sh").alias("s"))
-    hot = (
-        inv.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > NGRAM_MAX_DF)
-        .select("s")
+    inv = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .filter(F.col("df") <= NGRAM_MAX_DF)
+        .drop("df")
     )
-    inv = inv.join(F.broadcast(hot), "s", "left_anti")
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).select(
         "doc_id", "n"
     )
@@ -458,19 +459,21 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hot-key cap (same pattern as dedup_ngram_jaccard): a fingerprint
     shared by k docs emits O(k^2) join rows; fingerprints with document
     frequency > CONTAINMENT_MAX_DF are boilerplate and are dropped from
-    both the join and the size terms via a broadcast anti-join — the
-    oracle SQL applies the identical cap, so the check stays exact over
-    the capped sketch universe."""
+    both the join and the size terms — as a COUNT window over the
+    fingerprint key, whose exchange the pair join reuses
+    (ReusedExchange: the sketch lineage evaluates once, r2-review
+    finding). The oracle SQL applies the identical cap, so the check
+    stays exact over the capped sketch universe."""
     from ..operators.textstats import rolling_fingerprints
 
-    fps = rolling_fingerprints(_docs_par(spark, sf_dir), window=5, keep_mod=8)
-    hot = (
-        fps.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > CONTAINMENT_MAX_DF)
-        .select("fingerprint")
+    fps = (
+        rolling_fingerprints(_docs_par(spark, sf_dir), window=5, keep_mod=8)
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("df") <= CONTAINMENT_MAX_DF)
+        .drop("df")
     )
-    fps = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fps.alias("a"), fps.alias("b")
     shared = (
@@ -841,10 +844,10 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both sides explode to (doc_id, shingle) and meet in a
     shingle EQUI-join — the shuffle carries sketches, never documents.
     The same hot-key df cap as dedup_ngram_jaccard (> DECONTAM_MAX_DF
-    docs ⇒ boilerplate, dropped from index AND size terms via a
-    broadcast anti-join) bounds the worst key at O(k) instead of
-    O(k^2); standard decontamination drops ultra-common n-grams for
-    the same reason. Output: one row per contaminated corpus doc with
+    docs ⇒ boilerplate, dropped from index AND size terms via a COUNT
+    window over the shingle key, exchange-reused by the join) bounds
+    the worst key at O(k) instead of O(k^2); standard decontamination
+    drops ultra-common n-grams for the same reason. Output: one row per contaminated corpus doc with
     the hit counts and the contaminated fraction of its shingles."""
     docs = _docs_par(spark, sf_dir)
     is_bench = F.substring("source", 4, 10).cast("int") >= 10
@@ -853,14 +856,12 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_bench.alias("is_bench"),
         word_shingles(tokens_col("text"), n=DECONTAM_SHINGLE_N).alias("sh"),
     ).filter(F.size("sh") > 0)
-    inv = sh.select("doc_id", "is_bench", F.explode("sh").alias("s"))
-    hot = (
-        inv.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > DECONTAM_MAX_DF)
-        .select("s")
+    inv = (
+        sh.select("doc_id", "is_bench", F.explode("sh").alias("s"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .filter(F.col("df") <= DECONTAM_MAX_DF)
+        .drop("df")
     )
-    inv = inv.join(F.broadcast(hot), "s", "left_anti")
     corpus = inv.filter(~F.col("is_bench")).select("doc_id", "s")
     bench = inv.filter(F.col("is_bench")).select(
         F.col("doc_id").alias("bench_doc_id"), "s"

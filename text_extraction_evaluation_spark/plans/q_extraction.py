@@ -822,7 +822,12 @@ def host_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table."""
     from ..sources.readers import pages_df
 
-    pages = pages_df(spark, sf_dir)
+    # spread the one-split fixture across cores BEFORE the synthesis
+    # kernel (same reason as _docs_par — without this the html synth
+    # runs on a single task)
+    pages = pages_df(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
     host = F.regexp_extract("url", r"^http://([^/]+)/", 1)
     return (
         pages.select(host.alias("host"), "url")

@@ -92,11 +92,29 @@ class LocalCatalog:
             return False
         path = self.chunk_path(table, chunk_id)
         staging = f"{path}.staging-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(staging)
+        try:
+            df.write.mode("overwrite").parquet(staging)
+            committed = self._publish(table, chunk_id, path, staging, meta)
+        finally:
+            # a failed attempt (write error, publish error) must not
+            # leak its uniquely-named staging dir; hard process kills
+            # can still orphan one — vacuum() reclaims those
+            shutil.rmtree(staging, ignore_errors=True)
+        return committed
+
+    def _publish(
+        self,
+        table: str,
+        chunk_id: str,
+        path: str,
+        staging: str,
+        meta: dict[str, Any] | None,
+    ) -> bool:
+        import shutil
+
         with self._commit_lock:
             manifest = self._load_manifest(table)
             if chunk_id in manifest["chunks"]:
-                shutil.rmtree(staging, ignore_errors=True)
                 return False
             # a previous FAILED attempt may have left partial files at
             # the final path; they were never committed, so clobbering
@@ -117,6 +135,26 @@ class LocalCatalog:
             }
             self._store_manifest(table, manifest)
         return True
+
+    def vacuum(self, table: str) -> list[str]:
+        """Remove orphaned ``chunk=*.staging-*`` directories left by
+        hard-killed commit attempts (the LocalCatalog analogue of
+        Iceberg's remove_orphan_files). Committed data is never touched
+        — staging dirs are by construction unreferenced by the
+        manifest. Run only while no writer is active on ``table``: a
+        concurrent in-flight commit's staging dir is indistinguishable
+        from an orphan. Returns the removed paths."""
+        import shutil
+
+        tdir = self.root / table
+        removed: list[str] = []
+        if not tdir.is_dir():
+            return removed
+        with self._commit_lock:
+            for p in sorted(tdir.glob("chunk=*.staging-*")):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(str(p))
+        return removed
 
     def read(
         self, spark: SparkSession, table: str, as_of: int | None = None

@@ -9,6 +9,7 @@ BASELINE.json:15).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,7 +86,7 @@ _REPLICA_STRIDE = 10_000_000  # divisible by 16 and 20: preserves the
 # reintroduce the dropped-replica bug the density check guards against
 # (ADVICE r2). Guarded by a lock for concurrent bench threads.
 _N_BASE_CACHE: dict[tuple[str, int, int], int] = {}
-_N_BASE_LOCK = __import__("threading").Lock()
+_N_BASE_LOCK = threading.Lock()
 
 
 def _docs_cache_key(sf_dir: str) -> tuple[str, int, int]:
