@@ -4,6 +4,8 @@ checkpoint."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF0001
 
 
@@ -314,3 +316,45 @@ def test_stream_dedup_ordered_replay_matches_batch_first_crawl(
     want = {(r["url"], r["warc_ts"]): r["text"] for r in first.collect()}
     pages.unpersist()
     assert got == want
+
+
+def test_windowed_status_counts_equal_batch_aggregate(spark, tmp_path_factory):
+    """The streaming windowed status aggregate must equal the batch
+    groupBy(window, status) on the same finite input (complete output
+    mode on a memory sink, so closed and open windows both emit)."""
+    from text_extraction_evaluation_spark.operators.extract import extract_pages
+    from text_extraction_evaluation_spark.sources.readers import pages_df
+    from text_extraction_evaluation_spark.streaming.stream import (
+        read_pages_stream,
+        windowed_status_counts,
+    )
+
+    base = tmp_path_factory.mktemp("winstream")
+    pages_dir = str(base / "pages")
+    pages = pages_df(spark, SF0001, n_partitions=6)
+    pages.write.parquet(pages_dir)
+
+    agg = windowed_status_counts(read_pages_stream(spark, pages_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_status")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window"]["start"], r["window"]["end"], r["status"]): r["n_docs"]
+        for r in spark.sql("SELECT * FROM win_status").collect()
+    }
+    want = {
+        (r["window"]["start"], r["window"]["end"], r["status"]): r["n_docs"]
+        for r in (
+            extract_pages(spark.read.parquet(pages_dir))
+            .groupBy(F.window("warc_ts", "10 minutes"), "status")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .collect()
+        )
+    }
+    assert got == want
+    assert len({(s, e) for s, e, _ in got}) > 1  # multiple real windows
