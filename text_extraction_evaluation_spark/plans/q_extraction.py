@@ -870,6 +870,138 @@ FROM h GROUP BY host
 """
 
 
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup census — the crawl-frontier normalization
+    every web pipeline runs before url-level dedup: lowercase the
+    host, strip the default port, drop the fragment, drop tracking
+    params (utm_*) while KEEPING meaningful ones (sorted for a stable
+    key), and strip a trailing slash. The fixture's clean urls are
+    deterministically decorated (by doc_id residue: utm query strings,
+    uppercased hosts, :80 ports, fragments, trailing slashes) so the
+    normalizer has real work to do; the decoration rules live only in
+    this query, mirrored in the oracle.
+
+    Oracle strength: the DuckDB twin does NOT re-run the regex
+    normalizer — it constructs the EXPECTED canonical url directly
+    from the decoration rules, so the check catches a wrong normalizer
+    (not just a differently-wrong pair).
+
+    Scale shape: wholly map-side JVM regexps (url parse, param filter
+    + array_sort, no UDF) followed by one (host) hash aggregate of
+    distinct counts — the same shape as host_skew_census."""
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    host0 = F.when(
+        F.col("source") == HOT_HOST_SOURCE, F.lit("skew.example")
+    ).otherwise(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % N_HOSTS).cast("string"),
+            F.lit(".example"),
+        )
+    )
+    d = F.col("doc_id")
+    # deterministic decoration: the messy real-world variants
+    host_dec = F.when(d % 5 == 2, F.upper(host0)).otherwise(host0)
+    port = F.when(d % 8 == 5, F.lit(":80")).otherwise(F.lit(""))
+    slash = F.when(d % 7 == 3, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(
+        d % 4 == 1,
+        F.concat(
+            F.lit("?utm_source=feed&id="), d.cast("string"),
+            F.lit("&utm_campaign=c"), (d % 3).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    frag = F.when(
+        d % 6 == 4, F.concat(F.lit("#sec"), (d % 2).cast("string"))
+    ).otherwise(F.lit(""))
+    raw = F.concat(
+        F.lit("http://"), host_dec, port, F.lit("/"), d.cast("string"),
+        slash, query, frag,
+    )
+    u = docs.select("doc_id", raw.alias("raw_url"))
+    # -- the normalizer under test (pure JVM column expressions) -----------
+    no_frag = F.regexp_replace("raw_url", r"#.*$", "")
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(no_frag, r"^http://([^/?#]+)", 1), r":80$", ""
+        )
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(no_frag, r"^http://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    qs = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        F.lit("http://"), host, path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    per_url = u.select(
+        "doc_id", "raw_url", canonical.alias("canonical_url"),
+        host.alias("host"),
+    )
+    return (
+        per_url.groupBy("host")
+        .agg(
+            F.countDistinct("raw_url").alias("n_raw_urls"),
+            F.countDistinct("canonical_url").alias("n_canonical_urls"),
+            F.sum(
+                (F.col("raw_url") != F.col("canonical_url")).cast("bigint")
+            ).alias("n_rewritten"),
+        )
+    )
+
+
+def _url_canonical_sql() -> str:
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END AS host
+  FROM documents
+), u AS (
+  SELECT doc_id, host,
+         'http://'
+           || CASE WHEN doc_id % 5 = 2 THEN upper(host) ELSE host END
+           || CASE WHEN doc_id % 8 = 5 THEN ':80' ELSE '' END
+           || '/' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 7 = 3 THEN '/' ELSE '' END
+           || CASE WHEN doc_id % 4 = 1
+                   THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                        || '&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 6 = 4
+                   THEN '#sec' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END
+           AS raw_url,
+         -- EXPECTED canonical, built from intent (not by re-running
+         -- the normalizer): lowercase host, no port, no fragment, no
+         -- trailing slash, only the non-utm param kept
+         'http://' || host || '/' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 4 = 1
+                   THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END
+           AS canonical_url
+  FROM d
+)
+SELECT host,
+       COUNT(DISTINCT raw_url) AS n_raw_urls,
+       COUNT(DISTINCT canonical_url) AS n_canonical_urls,
+       CAST(SUM(CASE WHEN raw_url <> canonical_url THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rewritten
+FROM u GROUP BY host
+"""
+
+
 # PageRank quantization / iteration constants (shared by the Spark plan
 # and the unrolled-CTE oracle — the two sides must do the SAME integer
 # arithmetic in the SAME order).
@@ -1019,4 +1151,5 @@ _REGISTRY = {
     "q_events_props_map": (q_events_props_map, _EVENTS_PROPS_MAP_SQL),
     "host_skew_census": (host_skew_census, _host_census_sql()),
     "host_pagerank": (host_pagerank, _pagerank_sql()),
+    "url_canonical_dedup": (url_canonical_dedup, _url_canonical_sql()),
 }
