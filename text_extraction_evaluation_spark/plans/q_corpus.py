@@ -1075,6 +1075,77 @@ FROM cells CROSS JOIN totals
 """
 
 
+# Shard packing: target bytes (chars) per output shard, and the range
+# width of the prefix-sum buckets (both mirrored in the oracle).
+SHARD_TARGET_CHARS = 8192
+SHARD_PREFIX_BUCKET = 64
+
+
+def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding: assign documents (in deterministic
+    doc_id order) to consecutive shards of ~SHARD_TARGET_CHARS each —
+    the running-total bin-packing that decides output file boundaries
+    when writing a corpus back out. Emits the per-shard census
+    (doc count, chars, id range).
+
+    Scale shape — DISTRIBUTED PREFIX SUM, not a global window: a
+    single `SUM() OVER (ORDER BY doc_id)` puts the whole corpus in ONE
+    window task. Instead: (1) an intra-bucket running sum windowed by
+    doc_id-range bucket (parallel across buckets), (2) bucket
+    subtotals prefix-summed in a tiny per-bucket window (rows =
+    #buckets), (3) broadcast the offsets back. Three narrow shuffles,
+    no single-task stage. The DuckDB oracle computes the NAIVE global
+    cumsum, so the check proves the two-phase decomposition equals the
+    sequential semantics."""
+    docs = _docs_par(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("c")
+    )
+    b = (F.col("doc_id") / SHARD_PREFIX_BUCKET).cast("bigint")
+    d = docs.withColumn("b", b)
+    win_intra = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("run", F.sum("c").over(win_intra))
+    totals = d.groupBy("b").agg(F.sum("c").alias("bt"))
+    win_b = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.withColumn(
+        "off", F.sum("bt").over(win_b) - F.col("bt")
+    ).select("b", "off")
+    cum = F.col("off") + F.col("run")
+    shard = F.expr(
+        f"(off + run - CAST(1 AS BIGINT)) DIV {SHARD_TARGET_CHARS}"
+    )
+    assigned = d.join(F.broadcast(offsets), "b").select(
+        "doc_id", "c", cum.alias("cum_chars"), shard.alias("shard_id")
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c").alias("shard_chars"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+_SHARD_SQL = f"""
+WITH cum AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS c,
+         SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+  FROM documents
+)
+SELECT CAST((cum_chars - 1) // {SHARD_TARGET_CHARS} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS shard_chars,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM cum GROUP BY 1
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
@@ -1095,4 +1166,5 @@ _REGISTRY = {
     "benchmark_decontamination": (benchmark_decontamination, _DECONTAM_SQL),
     "quality_repetition": (quality_repetition, _REPETITION_SQL),
     "corpus_mixture_weights": (corpus_mixture_weights, _MIXTURE_SQL),
+    "doc_shard_assignment": (doc_shard_assignment, _SHARD_SQL),
 }
