@@ -309,18 +309,19 @@ def _fast_scan(text: str, core: _SegmenterCore) -> None:
             core.handle_data("<")
             pos = lt + 1
             continue
-        if m.group("comment"):
+        # one C call for all four groups (hot path: one per tag)
+        comment, end, tag, attrs = m.group("comment", "end", "tag", "attrs")
+        if comment:
             cm = _COMMENT_END_RE.search(text, m.end())
             pos = n if cm is None else cm.end()
             continue
-        tag = m.group("tag")
         if tag is None:  # decl / PI: dropped
             pos = m.end()
             continue
         tag = tag.lower()
-        attrs = m.group("attrs") or ""
+        attrs = attrs or ""
         pos = m.end()
-        if m.group("end"):
+        if end:
             core.handle_endtag(tag)
         elif attrs.rstrip().endswith("/"):
             core.handle_startendtag(tag)

@@ -45,7 +45,8 @@ class ClassifiedParagraph:
 def _stopword_density(words: list[str], stoplist: frozenset[str]) -> float:
     if not words:
         return 0.0
-    hits = sum(1 for w in words if w.lower() in stoplist)
+    # C-level map chain (no generator frame per word — hot path)
+    hits = sum(map(stoplist.__contains__, map(str.lower, words)))
     return hits / len(words)
 
 
