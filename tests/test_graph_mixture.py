@@ -133,3 +133,38 @@ def test_decontam_hot_shingle_capped(spark, tmp_path):
     assert 9_000 in out  # the real leak is caught through cold shingles
     assert out[9_000]["n_bench_docs"] == 1
     assert all(d == 9_000 for d in out)  # hot-shingle clique suppressed
+
+
+def test_canonical_url_idempotent_and_edge_cases(spark):
+    """canonical(canonical(u)) == canonical(u) for adversarial urls,
+    plus spot checks of each normalization rule."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_evaluation_spark.functions.text import canonical_url
+
+    urls = [
+        "http://HOST3.example:80/12/?utm_source=x&id=5&utm_b=2#frag",
+        "http://a.example/p//",
+        "http://a.example//",
+        "http://a.example",
+        "http://a.example/x?b=2&a=1",
+        "http://a.example/x?utm_only=1",
+        "http://a.example/x?",
+        "http://Skew.Example:80/7#s",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select("url", canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("url", "c1", canonical_url(F.col("c1")).alias("c2"))
+    rows = {r["url"]: (r["c1"], r["c2"]) for r in twice.collect()}
+    for u, (c1, c2) in rows.items():
+        assert c1 == c2, f"not idempotent for {u!r}: {c1!r} -> {c2!r}"
+    # rule-by-rule expectations
+    assert rows["http://HOST3.example:80/12/?utm_source=x&id=5&utm_b=2#frag"][0] \
+        == "http://host3.example/12?id=5"
+    assert rows["http://a.example/p//"][0] == "http://a.example/p"
+    assert rows["http://a.example//"][0] == "http://a.example"
+    assert rows["http://a.example"][0] == "http://a.example"
+    assert rows["http://a.example/x?b=2&a=1"][0] == "http://a.example/x?a=1&b=2"
+    assert rows["http://a.example/x?utm_only=1"][0] == "http://a.example/x"
+    assert rows["http://a.example/x?"][0] == "http://a.example/x"
+    assert rows["http://Skew.Example:80/7#s"][0] == "http://skew.example/7"

@@ -17,6 +17,7 @@ from ..functions.text import (
     MINHASH_ROWS_PER_BAND,
     MINHASH_SEEDS,
     SIMHASH_BITS,
+    canonical_url,
     md5_int,
     minhash_signature,
     tokens_col,
@@ -920,33 +921,12 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         slash, query, frag,
     )
     u = docs.select("doc_id", raw.alias("raw_url"))
-    # -- the normalizer under test (pure JVM column expressions) -----------
-    no_frag = F.regexp_replace("raw_url", r"#.*$", "")
-    host = F.lower(
-        F.regexp_replace(
-            F.regexp_extract(no_frag, r"^http://([^/?#]+)", 1), r":80$", ""
-        )
-    )
-    path = F.regexp_replace(
-        F.regexp_extract(no_frag, r"^http://[^/?#]+([^?#]*)", 1), r"/$", ""
-    )
-    qs = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
-    kept = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(qs, "&"),
-                lambda p: (p != "") & ~p.startswith("utm_"),
-            )
-        ),
-        "&",
-    )
-    canonical = F.concat(
-        F.lit("http://"), host, path,
-        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
-    )
+    # the normalizer under test lives in functions.text.canonical_url
+    # (property-tested idempotent); host re-derived from the canonical
+    canonical = canonical_url(F.col("raw_url"))
     per_url = u.select(
         "doc_id", "raw_url", canonical.alias("canonical_url"),
-        host.alias("host"),
+        F.regexp_extract(canonical, r"^http://([^/?#]+)", 1).alias("host"),
     )
     return (
         per_url.groupBy("host")
