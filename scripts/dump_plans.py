@@ -81,6 +81,12 @@ def main() -> None:
         ("quality_repetition", "Gopher repetition metrics entirely "
          "map-side: higher-order array expressions, no explode, no "
          "shuffle — a pure scan-project plan"),
+        ("doc_shard_assignment", "distributed prefix sum: per-bucket "
+         "running-sum windows in parallel, a #buckets-row offset "
+         "window, broadcast join back — no corpus-wide single-task "
+         "window"),
+        ("url_canonical_dedup", "pure map-side JVM regex normalization "
+         "+ one host hash aggregate; no UDF, no join"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
