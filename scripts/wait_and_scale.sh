@@ -1,8 +1,9 @@
 #!/bin/bash
 # Poll host capacity; when TWO consecutive probes read a clean epoch
-# (>=86% of the 5.35e8 session peak), run the scaling bench at
-# replicate=256. The bench itself aborts (rc 3, evidence untouched) if
-# the epoch collapses mid-run; retry until the deadline.
+# (>=90% of the 5.35e8 session peak), run the scaling bench at
+# replicate=256. The bench itself aborts (rc 3 unstable / rc 4
+# low-capacity, evidence untouched) if the epoch degrades mid-run;
+# retry until the deadline.
 cd /root/repo
 DEADLINE=$(( $(date +%s) + ${1:-7200} ))
 STABLE=0
@@ -11,7 +12,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
 import sys; sys.path.insert(0,'.')
 from bench import _host_capacity
 print(int(_host_capacity()))" 2>/dev/null | tail -1)
-  if [ "$CAP" -ge 460000000 ] 2>/dev/null; then STABLE=$((STABLE+1)); else STABLE=0; fi
+  if [ "$CAP" -ge 482000000 ] 2>/dev/null; then STABLE=$((STABLE+1)); else STABLE=0; fi
   echo "$(date +%H:%M:%S) capacity=$CAP stable=$STABLE" >> /tmp/scale_watch.log
   if [ "$STABLE" -ge 2 ]; then
     echo "$(date +%H:%M:%S) launching scaling bench" >> /tmp/scale_watch.log
