@@ -298,3 +298,24 @@ def test_range_join_is_banded_equijoin(spark):
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_domain_cap_window_has_partial_group_limit(spark):
+    """Domain capping relies on Spark's rank-limit pushdown for skew
+    safety: the row_number <= CAP filter must plan as WindowGroupLimit
+    with a PARTIAL pass before the exchange, so each map task ships at
+    most CAP rows per host and the hot host never funnels its full page
+    list into one window task. If a Spark upgrade ever drops this
+    rewrite, fail loudly — the query would silently become the skew
+    trap its docstring rules out."""
+    from text_extraction_evaluation_spark.plans.queries import host_domain_cap
+
+    plan = plan_of(host_domain_cap(spark, SF0001))
+    assert "WindowGroupLimit" in plan
+    partial = [
+        ln for ln in plan.splitlines()
+        if "WindowGroupLimit" in ln and "Partial" in ln
+    ]
+    assert partial, f"no partial WindowGroupLimit pass in:\n{plan}"
+    # the census join stays broadcast (38 hosts, never a shuffle join)
+    assert "BroadcastHashJoin" in plan

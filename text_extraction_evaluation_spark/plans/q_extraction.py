@@ -1112,6 +1112,92 @@ WITH e0 AS (
     return pre + "".join(its) + f"\nSELECT host, rank_e12 FROM r{PR_ITERS}"
 
 
+DOMAIN_CAP = 16  # max urls kept per host (fixture-sized; prod: ~1e5)
+
+
+def host_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping — the per-host quota sampler every webtext corpus
+    build runs (C4/RefinedWeb-style: no single domain may dominate the
+    training mix). Keeps at most DOMAIN_CAP urls per host, selected
+    deterministically by md5(url) so re-runs, retries, and the oracle
+    all agree on WHICH urls survive; returns the per-host census with a
+    fingerprint-sum over the kept urls (the driver check therefore pins
+    the exact selection, not just the counts).
+
+    Scale shape: a row_number window partitioned by host looks like a
+    skew trap (the hot host — fixture 'skew.example', an entire
+    source; prod: millions of pages — lands in one window task), but
+    Spark >= 3.5 plans a rank-limit filter as WindowGroupLimit with a
+    PARTIAL pass before the exchange: every map task locally keeps only
+    its top-CAP rows per host, so at most CAP * n_input_partitions rows
+    per host ever shuffle, and the final per-host task ranks a bounded
+    set. tests/test_plans.py pins that shape (a manual two-phase
+    salted window would add a second exchange for nothing).
+    The host totals come from a separate map-side-combining hash
+    aggregate, not from the window, so dropped rows never pay the
+    ranking path."""
+    from ..sources.readers import pages_df
+
+    pages = pages_df(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    host = F.regexp_extract("url", r"^http://([^/]+)/", 1)
+    # distinct BEFORE ranking: recrawls are the same frontier entry
+    u = pages.select(host.alias("host"), "url").distinct()
+
+    w = Window.partitionBy("host").orderBy(F.md5(F.col("url")))
+    kept = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+    )
+    totals = u.groupBy("host").agg(F.count(F.lit(1)).alias("n_urls"))
+    census = kept.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(_fp48(F.col("url"))).alias("kept_fp_sum"),
+    )
+    return (
+        totals.join(F.broadcast(census), "host")
+        .select(
+            "host",
+            "n_urls",
+            "n_kept",
+            "kept_fp_sum",
+            (F.col("n_urls") > DOMAIN_CAP).alias("capped"),
+        )
+    )
+
+
+def _domain_cap_sql() -> str:
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    return f"""
+WITH urls AS (
+  SELECT CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END AS host,
+         'http://' ||
+         CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END || '/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), ranked AS (
+  SELECT host, url,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY md5(url)) AS rn
+  FROM urls
+)
+SELECT host,
+       COUNT(*) AS n_urls,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP}
+                THEN ('0x' || substr(md5(url), 1, 12))::BIGINT END) AS BIGINT)
+         AS kept_fp_sum,
+       COUNT(*) > {DOMAIN_CAP} AS capped
+FROM ranked
+GROUP BY host
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "extract_text_fingerprint": (extract_text_fingerprint, _TEXT_FP_SQL),
@@ -1132,4 +1218,5 @@ _REGISTRY = {
     "host_skew_census": (host_skew_census, _host_census_sql()),
     "host_pagerank": (host_pagerank, _pagerank_sql()),
     "url_canonical_dedup": (url_canonical_dedup, _url_canonical_sql()),
+    "host_domain_cap": (host_domain_cap, _domain_cap_sql()),
 }
