@@ -1,0 +1,335 @@
+"""Webtext corpus-hygiene stages every large-scale training-data build
+runs between crawl and training mix: PII redaction, URL blocklist
+filtering (suffix/subdomain match), and incremental crawl diffing.
+
+Same contract as the other plans.q_* modules: each query is a
+DataFrame plan over the driver fixtures, each oracle is an
+independent DuckDB twin (intent-built from the synth rules where the
+Spark side computes over synthesized pages), every computed column
+aliased identically on both sides.
+
+Cross-engine regex note: every pattern here is written in the common
+subset of Java regex (Spark) and RE2 (DuckDB) — no backreferences, no
+lookaround — so the two engines' redaction output is byte-identical
+and can be pinned with a fingerprint sum, not just counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import _t
+from .q_extraction import _fp48
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (Dolma/CCNet-style scrub pass)
+# ---------------------------------------------------------------------------
+
+# Common Java-regex/RE2 subset; replacement order is part of the
+# contract (email, then IP, then phone) and mirrored in the SQL twin.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def _pii_augmented(doc_id, text):
+    """Deterministic PII planting, doc_id-keyed (the fixture corpus is
+    PII-free word salad, so the scrub pass needs a seeded payload; the
+    SQL twin rebuilds the identical strings from the same arithmetic).
+    3 of every 5 docs carry exactly one PII item; 2 stay clean."""
+    m = doc_id % 5
+    return (
+        F.when(
+            m == 0,
+            F.concat(
+                text,
+                F.lit(" contact user"),
+                doc_id.cast("string"),
+                F.lit("@mail.example for details"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                text,
+                F.lit(" call +1-555-"),
+                F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                text,
+                F.lit(" server at 10."),
+                (doc_id % 256).cast("string"),
+                F.lit("."),
+                (F.floor(doc_id / 7) % 256).cast("string"),
+                F.lit("."),
+                (doc_id % 200).cast("string"),
+                F.lit(" logged"),
+            ),
+        )
+        .otherwise(text)
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub census — regex redaction of emails / IPv4s / phone
+    numbers with per-source counts, a chars-removed tally, and a
+    fingerprint sum over the REDACTED text (so the driver check pins
+    the exact byte-level redaction output of both engines, not just
+    match counts).
+
+    Scale shape: entirely map-side JVM work (whole-stage-codegen'd
+    regexp_extract_all / regexp_replace; zero Python) followed by one
+    map-side-combining hash aggregate on `source` — the cheapest
+    possible shape for a full-corpus scrub at 100 TB. No window, no
+    join, no shuffle of document text: only the 20-source census rows
+    move."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    did = F.col("doc_id")
+    aug = _pii_augmented(did, F.col("text"))
+    red = F.regexp_replace(aug, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IP, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+
+    def n_matches(pat: str):
+        return F.size(F.regexp_extract_all(aug, F.lit(pat), F.lit(0))).cast("bigint")
+
+    return (
+        docs.select(
+            "source",
+            n_matches(PII_EMAIL).alias("ne"),
+            n_matches(PII_IP).alias("ni"),
+            n_matches(PII_PHONE).alias("np"),
+            (F.length(aug) - F.length(red)).cast("bigint").alias("delta"),
+            _fp48(red).alias("fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("ni").alias("n_ips"),
+            F.sum("np").alias("n_phones"),
+            F.sum("delta").alias("chars_redacted"),
+            F.sum("fp").alias("redacted_fp_sum"),
+        )
+    )
+
+
+# RE2 twin of the Java patterns above (identical strings — both
+# dialects parse this subset the same way).
+_PII_SQL = f"""
+WITH aug AS (
+  SELECT source,
+         CASE doc_id % 5
+           WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example for details'
+           WHEN 1 THEN text || ' call +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+           WHEN 2 THEN text || ' server at 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+                       || '.' || CAST(doc_id % 200 AS VARCHAR) || ' logged'
+           ELSE text
+         END AS t
+  FROM documents
+), red AS (
+  SELECT source, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IP}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g') AS r,
+         len(regexp_extract_all(t, '{PII_EMAIL}')) AS ne,
+         len(regexp_extract_all(t, '{PII_IP}')) AS ni,
+         len(regexp_extract_all(t, '{PII_PHONE}')) AS np
+  FROM aug
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       CAST(SUM(ni) AS BIGINT) AS n_ips,
+       CAST(SUM(np) AS BIGINT) AS n_phones,
+       CAST(SUM(length(t) - length(r)) AS BIGINT) AS chars_redacted,
+       CAST(SUM(('0x' || substr(md5(r), 1, 12))::BIGINT) AS BIGINT)
+         AS redacted_fp_sum
+FROM red
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist filtering (suffix / subdomain match)
+# ---------------------------------------------------------------------------
+
+BLOCKLIST = ["skew.example", "host7.example", "ads.invalid"]
+
+
+def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate — block a host when it equals a listed
+    domain OR sits under one (subdomain suffix match), the rule every
+    crawl pipeline applies before extraction. A deterministic
+    doc_id-keyed subdomain prefix (cdn./www.) widens the fixture's
+    flat host space so the suffix path is actually exercised
+    (cdn.skew.example must be caught by the 'skew.example' entry).
+
+    Scale shape: the naive formulation is a LIKE '%.domain' theta-join
+    (BroadcastNestedLoop — every host row tested against every
+    blocklist row). Instead each host explodes into its <= 3 label
+    suffixes and LEFT SEMI equi-joins the broadcast blocklist: linear
+    in hosts, and the explode runs on the DISTINCT host dimension
+    (hundreds of rows after the url census), never on the url fact
+    table. The SQL twin deliberately uses the LIKE intent form, so the
+    driver compare proves the suffix-explode rewrite is equivalent."""
+    from ..sources.readers import pages_df
+
+    pages = pages_df(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    base_host = F.regexp_extract("url", r"^http://([^/]+)/", 1)
+    did = F.regexp_extract("url", r"/([0-9]+)$", 1).cast("bigint")
+    sub = (
+        F.when(did % 4 == 0, F.lit("cdn."))
+        .when(did % 4 == 1, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    urls = pages.select(
+        F.concat(sub, base_host).alias("host"), "url"
+    ).distinct()
+    hosts = urls.groupBy("host").agg(F.count(F.lit(1)).alias("n_urls"))
+
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    bl = spark.createDataFrame([(d,) for d in BLOCKLIST], ["suffix"])
+    blocked_hosts = (
+        hosts.select("host", F.explode(suffixes).alias("suffix"))
+        .join(F.broadcast(bl), "suffix", "left_semi")
+        .select("host")
+        .distinct()
+        .withColumn("blk", F.lit(True))
+    )
+    return (
+        hosts.join(F.broadcast(blocked_hosts), "host", "left")
+        .select(
+            "host",
+            "n_urls",
+            F.coalesce("blk", F.lit(False)).alias("blocked"),
+        )
+    )
+
+
+def _blocklist_sql() -> str:
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    exact = ", ".join(f"'{d}'" for d in BLOCKLIST)
+    likes = " OR ".join(f"host LIKE '%.{d}'" for d in BLOCKLIST)
+    return f"""
+WITH u AS (
+  SELECT DISTINCT
+         CASE doc_id % 4 WHEN 0 THEN 'cdn.' WHEN 1 THEN 'www.' ELSE '' END ||
+         CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END AS host,
+         doc_id
+  FROM documents
+)
+SELECT host, COUNT(*) AS n_urls,
+       (host IN ({exact}) OR {likes}) AS blocked
+FROM u
+GROUP BY host
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental crawl diff (raw-hash vs content-hash change detection)
+# ---------------------------------------------------------------------------
+
+
+def crawl_content_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl diff — per host, how many urls were
+    recrawled, and of those how many changed at the RAW byte level
+    (md5 of the html) vs at the CONTENT level (md5 of the main text).
+    The gap between the two is the boilerplate-churn rate: pages whose
+    template rotated but whose content is identical, which an
+    incremental pipeline should NOT re-extract or re-score. On the
+    fixtures every recrawl rotates the template and keeps the content,
+    so the oracle pins n_raw_changed == n_recrawled and
+    n_content_changed == 0 per host — any Spark-side drift in crawl
+    ordering (min_by/max_by on warc_ts) or hashing breaks the match.
+
+    Scale shape: one shuffle on (host, url) with map-side-combined
+    min_by/max_by aggregates — no window over the url's crawl history,
+    no self-join of old vs new snapshots — then a second tiny
+    aggregate on host. At 100 TB the first agg carries only two 32-hex
+    hashes per url, never the html bytes."""
+    from ..sources.readers import pages_df
+
+    pages = pages_df(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    host = F.regexp_extract("url", r"^http://([^/]+)/", 1)
+    h = pages.select(
+        host.alias("host"),
+        "url",
+        "warc_ts",
+        F.md5("html").alias("raw_h"),
+        F.md5("text").alias("content_h"),
+    )
+    per_url = h.groupBy("host", "url").agg(
+        F.count(F.lit(1)).alias("n_crawls"),
+        F.min_by("raw_h", "warc_ts").alias("raw_first"),
+        F.max_by("raw_h", "warc_ts").alias("raw_last"),
+        F.min_by("content_h", "warc_ts").alias("content_first"),
+        F.max_by("content_h", "warc_ts").alias("content_last"),
+    )
+    return per_url.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum((F.col("n_crawls") > 1).cast("bigint")).alias("n_recrawled"),
+        F.sum((F.col("raw_first") != F.col("raw_last")).cast("bigint")).alias(
+            "n_raw_changed"
+        ),
+        F.sum(
+            (F.col("content_first") != F.col("content_last")).cast("bigint")
+        ).alias("n_content_changed"),
+    )
+
+
+def _crawl_diff_sql() -> str:
+    from ..sources.synth import (
+        HOT_HOST_SOURCE,
+        N_HOSTS,
+        SECOND_CRAWL_MOD,
+        SECOND_CRAWL_REM,
+    )
+
+    # Intent-built from the synth rules: doc_id % 20 == 7 urls carry a
+    # second crawl with a rotated template (raw bytes change) and the
+    # same gold text (content does not).
+    return f"""
+SELECT CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+            ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+       END AS host,
+       COUNT(*) AS n_urls,
+       CAST(SUM(CASE WHEN doc_id % {SECOND_CRAWL_MOD} = {SECOND_CRAWL_REM}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_recrawled,
+       CAST(SUM(CASE WHEN doc_id % {SECOND_CRAWL_MOD} = {SECOND_CRAWL_REM}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_raw_changed,
+       CAST(0 AS BIGINT) AS n_content_changed
+FROM documents
+GROUP BY 1
+"""
+
+
+# -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
+_REGISTRY = {
+    "pii_redaction": (pii_redaction, _PII_SQL),
+    "url_blocklist_filter": (url_blocklist_filter, _blocklist_sql()),
+    "crawl_content_diff": (crawl_content_diff, _crawl_diff_sql()),
+}

@@ -40,11 +40,13 @@ from .q_corpus import *  # noqa: F401,F403
 from .q_embedding import *  # noqa: F401,F403
 from .q_extraction import *  # noqa: F401,F403
 from .q_relational import *  # noqa: F401,F403
-from . import q_corpus, q_embedding, q_extraction, q_relational
+from .q_webtext import *  # noqa: F401,F403
+from . import q_corpus, q_embedding, q_extraction, q_relational, q_webtext
 
 SQL_CHECKED = {
     **q_relational._REGISTRY,
     **q_corpus._REGISTRY,
     **q_embedding._REGISTRY,
     **q_extraction._REGISTRY,
+    **q_webtext._REGISTRY,
 }
