@@ -327,9 +327,89 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Boilerplate line-df census (RefinedWeb/CCNet line-dedup, stage 1)
+# ---------------------------------------------------------------------------
+
+LINE_DF_THRESHOLD = 50  # distinct urls; fixture template lines sit at
+# >= 56 (sidebar) and 500 (nav/footer), the densest content-derived
+# line at <= 38 — prod: a per-mille-of-corpus rule instead
+
+
+def boilerplate_line_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level duplication census — the discovery stage of
+    RefinedWeb/CCNet line dedup: segment every page into paragraph
+    lines (the real jusText segmenter, not a whitespace split), count
+    distinct urls per exact line, and keep lines above the
+    document-frequency threshold. `n_good_leaks` counts how often a
+    boilerplate line survived extraction classified GOOD — the metric
+    line-dedup exists to drive; the oracle pins it at 0 for every
+    template line, so any classifier regression that lets nav/footer
+    text through shows up as a driver mismatch.
+
+    Scale shape: one hash aggregate on the line text with map-side
+    partial combine — a line repeated on every page of a partition
+    ships ONCE per partition, so the shuffle carries ~distinct lines,
+    not corpus lines. The countDistinct(url) plans as Spark's two-phase
+    expand (partial dedup of (line, url) map-side) — the nav line's
+    half-billion urls at 100 TB never funnel raw into one task. No
+    driver-side state; the df threshold prunes before any output."""
+    from ..operators.extract import extract_spans, latest_crawl
+    from ..sources.readers import pages_df
+
+    pages = latest_crawl(
+        pages_df(spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism)
+    )
+    spans = extract_spans(pages).select("url", "text", "class_final")
+    return (
+        spans.groupBy(F.col("text").alias("line"))
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum((F.col("class_final") == "good").cast("bigint")).alias(
+                "n_good_leaks"
+            ),
+        )
+        .filter(F.col("n_urls") >= LINE_DF_THRESHOLD)
+    )
+
+
+# Intent-built twin: the surviving lines are exactly the synth template
+# boilerplate (nav + footer on every page; the 3 sidebar lines, twice
+# per page, on effective-variant 8/15 pages after latest-crawl dedup);
+# their counts reduce to doc_id arithmetic over `documents`. The
+# strings are the segmenter's exact paragraph texts (link texts joined
+# by single spaces), cross-checked against the pinned pure-Python
+# oracle when this query landed.
+_LINE_CENSUS_SQL = f"""
+WITH v AS (
+  SELECT (doc_id % 16 + CASE WHEN doc_id % 20 = 7 THEN 2 ELSE 0 END) % 16
+           AS v_eff
+  FROM documents
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+sb AS (SELECT COUNT(*) AS n_sb FROM v WHERE v_eff IN (8, 15))
+SELECT line, n_urls, n_occurrences, n_good_leaks FROM (
+  SELECT 'portal newsfeed contact login subscribe' AS line,
+         n_docs AS n_urls, n_docs AS n_occurrences,
+         CAST(0 AS BIGINT) AS n_good_leaks FROM n
+  UNION ALL
+  SELECT '© 2024 Synth Portal. All rights reserved. terms privacy',
+         n_docs, n_docs, CAST(0 AS BIGINT) FROM n
+  UNION ALL
+  SELECT 'promo banner', n_sb, 2 * n_sb, CAST(0 AS BIGINT) FROM sb
+  UNION ALL
+  SELECT 'trending widget', n_sb, 2 * n_sb, CAST(0 AS BIGINT) FROM sb
+  UNION ALL
+  SELECT 'cookie notice', n_sb, 2 * n_sb, CAST(0 AS BIGINT) FROM sb
+)
+WHERE n_urls >= {LINE_DF_THRESHOLD}
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "pii_redaction": (pii_redaction, _PII_SQL),
     "url_blocklist_filter": (url_blocklist_filter, _blocklist_sql()),
     "crawl_content_diff": (crawl_content_diff, _crawl_diff_sql()),
+    "boilerplate_line_census": (boilerplate_line_census, _LINE_CENSUS_SQL),
 }
