@@ -203,6 +203,10 @@ def main() -> None:
         "tfidf_top_terms",
         "quality_repetition",
         "host_pagerank",
+        "host_domain_cap",
+        "pii_redaction",
+        "boilerplate_line_census",
+        "crawl_content_diff",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

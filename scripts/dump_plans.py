@@ -87,6 +87,21 @@ def main() -> None:
          "window"),
         ("url_canonical_dedup", "pure map-side JVM regex normalization "
          "+ one host hash aggregate; no UDF, no join"),
+        ("host_domain_cap", "per-host quota via rank-limit pushdown: "
+         "partial WindowGroupLimit before the exchange bounds what the "
+         "hot host ships; census join stays broadcast"),
+        ("pii_redaction", "full-corpus regex scrub as a pure "
+         "scan-project plan + one map-side-combined census aggregate — "
+         "no shuffle of document text"),
+        ("url_blocklist_filter", "subdomain suffix match as label-suffix "
+         "explode on the distinct host dim + broadcast LEFT SEMI — the "
+         "LIKE theta-join (BroadcastNestedLoop) never appears"),
+        ("boilerplate_line_census", "line-df census: map-side partial "
+         "combine collapses repeated boilerplate before the shuffle; "
+         "countDistinct(url) plans as the two-phase expand"),
+        ("crawl_content_diff", "recrawl diff via min_by/max_by per url "
+         "— one (host,url) aggregate carrying two hashes, no snapshot "
+         "self-join, html bytes never shuffle"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
