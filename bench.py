@@ -207,6 +207,8 @@ def main() -> None:
         "pii_redaction",
         "boilerplate_line_census",
         "crawl_content_diff",
+        "lm_perplexity_score",
+        "dsir_importance_weights",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

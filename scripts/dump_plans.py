@@ -102,6 +102,13 @@ def main() -> None:
         ("crawl_content_diff", "recrawl diff via min_by/max_by per url "
          "— one (host,url) aggregate carrying two hashes, no snapshot "
          "self-join, html bytes never shuffle"),
+        ("lm_perplexity_score", "CCNet perplexity: bounded-vocab LM "
+         "count tables ride as BroadcastHashJoins (the wiki-LM-to-"
+         "every-worker shape); per-doc NLL aggregate collapses "
+         "map-side so the shuffle carries one row per doc"),
+        ("dsir_importance_weights", "DSIR: 4096-bucket feature "
+         "log-ratio table is a broadcast; scoring is map-side join + "
+         "per-doc aggregate, integer micro-nat sums"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))

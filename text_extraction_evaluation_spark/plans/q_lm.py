@@ -1,0 +1,268 @@
+"""LM-based training-mix curation: the two published selection stages
+that sit between corpus hygiene and the final pretraining mix —
+
+* **CCNet-style perplexity scoring** (Wenzek et al. 2020): score every
+  document with an n-gram language model trained on a trusted
+  reference subset; downstream mixes keep the low-perplexity head or
+  stratify on it.
+* **DSIR importance weights** (Xie et al. 2023): hashed-n-gram
+  importance ratio log(p_target/p_raw) per document — the weight that
+  resamples a raw crawl toward a target domain.
+
+Same contract as the other plans.q_* modules: each DataFrame plan has
+a DuckDB twin with identically aliased columns.
+
+Cross-engine determinism: the only transcendental is ``ln``, and it is
+applied once per (count-ratio) term and immediately quantized to
+integer micro-nats (``ROUND(ln(...) * 1e6)`` as BIGINT). Both engines
+compute the same IEEE double ratio from exact integer counts, so the
+inputs to ``ln`` are bit-identical; a 1-ulp libm difference flips the
+rounded integer only when the value sits within ~1e-9 of a .5
+boundary. Per-document results are exact BIGINT sums of those
+quantized terms (aggregation-order independent); the reported
+``avg``/``ppl`` doubles are derived from the integer sums by fixed
+arithmetic, so they cannot drift with partial-aggregation topology.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_int, tokens_col
+from .common import _docs_par
+
+# Reference subset: a deterministic ~1/7 slice of the corpus stands in
+# for the trusted LM training set (CCNet uses Wikipedia). Mirrored
+# verbatim in every SQL twin.
+REF_MOD = 7
+
+# DSIR hashed-feature space (Xie et al. use 10k buckets; 4096 keeps
+# the fixture's per-bucket counts dense enough to be interesting).
+DSIR_BUCKETS = 4096
+
+
+def _bigram_structs(tok):
+    """Positional (w1, w2) bigrams as an array of structs — slice+zip
+    (O(n) per row) rather than per-index element_at (O(n^2)); see
+    functions.text.word_shingles_all for the measured rationale."""
+    length = F.greatest(F.size(tok) - 1, F.lit(0))
+    pre = F.slice(tok, 1, length)
+    suf = F.slice(tok, 2, length)
+    return F.zip_with(
+        pre, suf, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+    )
+
+
+def _corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(_bigram_structs(tokens_col("text"))).alias("bg"),
+    ).select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring: train a Laplace-smoothed bigram
+    LM on the reference slice (doc_id % 7 == 0), score EVERY document
+    with mean negative log-likelihood per bigram and its exp
+    (perplexity). P(w2|w1) = (C(w1 w2) + 1) / (C(w1 ·) + V), V = the
+    reference's distinct-token vocabulary.
+
+    Scale shape: the LM is a bounded artifact — its size tracks the
+    REFERENCE vocabulary, not the corpus — so both count tables ride
+    as broadcasts (CCNet ships its wiki LM to every worker the same
+    way) and the scoring join is map-side. The bigram explode keeps
+    each document's rows in one partition, so the per-doc aggregate
+    collapses map-side and the only shuffle carries one row per
+    document. Counts are exact integers; the single ln per bigram is
+    quantized to micro-nats and summed as BIGINT (module docstring)."""
+    bg = _corpus_bigrams(spark, sf_dir)
+    ref = bg.filter(F.col("doc_id") % REF_MOD == 0)
+    lm = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = lm.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    docs = _docs_par(spark, sf_dir)
+    vocab = (
+        docs.filter(F.col("doc_id") % REF_MOD == 0)
+        .select(F.explode(tokens_col("text")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    nll_e6 = F.round(
+        F.log(
+            (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+            / (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+        )
+        * 1e6
+    ).cast("bigint")
+    scored = (
+        bg.join(F.broadcast(lm), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("c2").isNull().cast("bigint")).alias("n_oov"),
+            F.sum(nll_e6).alias("sum_nll_e6"),
+        )
+    )
+    avg_nll = F.round(
+        F.col("sum_nll_e6").cast("double") / 1e6 / F.col("n_bigrams"), 6
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "n_oov",
+        "sum_nll_e6",
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 3).alias("ppl"),
+        (F.col("doc_id") % REF_MOD == 0).alias("is_ref"),
+    )
+
+
+_BIGRAM_CTE = """
+t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang, unnest([{'w1': w[i], 'w2': w[i+1]}
+                               for i in range(1, len(w))]) AS b
+  FROM t WHERE len(w) >= 2
+), bgf AS (
+  SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg
+)
+"""
+
+_PPL_SQL = f"""
+WITH {_BIGRAM_CTE},
+ref AS (SELECT * FROM bgf WHERE doc_id % {REF_MOD} = 0),
+lm AS (SELECT w1, w2, COUNT(*) AS c2 FROM ref GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c2) AS c1 FROM lm GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents WHERE doc_id % {REF_MOD} = 0
+  )
+),
+scored AS (
+  SELECT doc_id, lang,
+         COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN lm.c2 IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         SUM(CAST(ROUND(ln(CAST(COALESCE(ctx.c1, 0) + v AS DOUBLE)
+                            / (COALESCE(lm.c2, 0) + 1)) * 1e6) AS BIGINT))
+           AS sum_nll_e6
+  FROM bgf
+  LEFT JOIN lm USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  CROSS JOIN vocab
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_bigrams, n_oov, sum_nll_e6,
+       ROUND(CAST(sum_nll_e6 AS DOUBLE) / 1e6 / n_bigrams, 6) AS avg_nll,
+       ROUND(exp(ROUND(CAST(sum_nll_e6 AS DOUBLE) / 1e6 / n_bigrams, 6)), 3)
+         AS ppl,
+       doc_id % {REF_MOD} = 0 AS is_ref
+FROM scored
+"""
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hash every bigram
+    into a fixed feature space, estimate Laplace-smoothed feature
+    distributions for the TARGET slice (the reference subset) and the
+    RAW remainder, and give each document the log importance weight
+    sum_f count_f(doc) * ln(p_target(f) / p_raw(f)). Documents whose
+    weight is high look like the target domain and get up-sampled in
+    the published recipe.
+
+    Scale shape: the feature space is fixed (4096 buckets), so the
+    per-feature log-ratio table is a one-row-per-bucket broadcast —
+    scoring is a map-side join + per-doc aggregate that collapses
+    map-side (same shuffle story as lm_perplexity_score). The ratio
+    ((ct+1)(Nr+B)) / ((cr+1)(Nt+B)) is built from exact integer
+    products (< 2^53, exact in doubles) before the single quantized
+    ln per bucket."""
+    bg = _corpus_bigrams(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.pmod(md5_int(F.concat_ws(" ", "w1", "w2")), F.lit(DSIR_BUCKETS)).alias(
+            "f"
+        ),
+    )
+    is_target = F.col("doc_id") % REF_MOD == 0
+    feats = bg.groupBy("f").agg(
+        F.sum(is_target.cast("bigint")).alias("ct"),
+        F.sum((~is_target).cast("bigint")).alias("cr"),
+    )
+    totals = feats.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    lr_e6 = F.round(
+        F.log(
+            ((F.col("ct") + 1) * (F.col("nr") + DSIR_BUCKETS)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("nt") + DSIR_BUCKETS))
+        )
+        * 1e6
+    ).cast("bigint")
+    ratio = feats.join(F.broadcast(totals)).select("f", lr_e6.alias("lr_e6"))
+    scored = (
+        bg.join(F.broadcast(ratio), "f", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce(F.col("lr_e6"), F.lit(0))).alias("log_weight_e6"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "log_weight_e6",
+        F.round(F.col("log_weight_e6").cast("double") / 1e6, 6).alias(
+            "log_weight"
+        ),
+        (F.col("doc_id") % REF_MOD == 0).alias("is_target"),
+    )
+
+
+_DSIR_SQL = f"""
+WITH {_BIGRAM_CTE},
+feat AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(w1 || ' ' || w2), 1, 15))::BIGINT
+           % {DSIR_BUCKETS} AS f
+  FROM bgf
+),
+counts AS (
+  SELECT f,
+         SUM(CASE WHEN doc_id % {REF_MOD} = 0 THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN doc_id % {REF_MOD} = 0 THEN 0 ELSE 1 END) AS cr
+  FROM feat GROUP BY f
+),
+totals AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
+ratio AS (
+  SELECT f,
+         CAST(ROUND(ln(CAST((ct + 1) * (nr + {DSIR_BUCKETS}) AS DOUBLE)
+                       / ((cr + 1) * (nt + {DSIR_BUCKETS}))) * 1e6) AS BIGINT)
+           AS lr_e6
+  FROM counts CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, lang, COUNT(*) AS n_feats,
+         SUM(COALESCE(lr_e6, 0)) AS log_weight_e6
+  FROM feat LEFT JOIN ratio USING (f)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_feats, log_weight_e6,
+       ROUND(CAST(log_weight_e6 AS DOUBLE) / 1e6, 6) AS log_weight,
+       doc_id % {REF_MOD} = 0 AS is_target
+FROM scored
+"""
+
+
+# -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
+_REGISTRY = {
+    "lm_perplexity_score": (lm_perplexity_score, _PPL_SQL),
+    "dsir_importance_weights": (dsir_importance_weights, _DSIR_SQL),
+}

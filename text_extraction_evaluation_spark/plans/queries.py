@@ -39,9 +39,10 @@ from .common import (  # noqa: F401 — back-compat re-exports
 from .q_corpus import *  # noqa: F401,F403
 from .q_embedding import *  # noqa: F401,F403
 from .q_extraction import *  # noqa: F401,F403
+from .q_lm import *  # noqa: F401,F403
 from .q_relational import *  # noqa: F401,F403
 from .q_webtext import *  # noqa: F401,F403
-from . import q_corpus, q_embedding, q_extraction, q_relational, q_webtext
+from . import q_corpus, q_embedding, q_extraction, q_lm, q_relational, q_webtext
 
 SQL_CHECKED = {
     **q_relational._REGISTRY,
@@ -49,4 +50,5 @@ SQL_CHECKED = {
     **q_embedding._REGISTRY,
     **q_extraction._REGISTRY,
     **q_webtext._REGISTRY,
+    **q_lm._REGISTRY,
 }
