@@ -209,6 +209,7 @@ def main() -> None:
         "crawl_content_diff",
         "lm_perplexity_score",
         "dsir_importance_weights",
+        "sequence_packing",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

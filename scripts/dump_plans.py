@@ -109,6 +109,9 @@ def main() -> None:
         ("dsir_importance_weights", "DSIR: 4096-bucket feature "
          "log-ratio table is a broadcast; scoring is map-side join + "
          "per-doc aggregate, integer micro-nat sums"),
+        ("sequence_packing", "concat-and-chunk packing: one shard "
+         "shuffle then a running-sum window PER SHARD — parallel "
+         "across shards, no global single-task window"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))

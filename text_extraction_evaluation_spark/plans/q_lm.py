@@ -26,7 +26,7 @@ arithmetic, so they cannot drift with partial-aggregation topology.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_int, tokens_col
@@ -261,8 +261,87 @@ FROM scored
 """
 
 
+# Sequence packing: context-window token budget and the shard fan-out
+# of the pre-training writer. Shard count scales with the cluster at
+# 100 TB (thousands); 8 keeps the fixture's per-shard streams long
+# enough to cross many sequence boundaries.
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 8
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the last hop before tokens hit the trainer:
+    documents are globally shuffled (hash order), fanned out to
+    shards, and packed CONTIGUOUSLY into fixed-token-budget sequences
+    (GPT-style concat-and-chunk: a document may span a sequence
+    boundary; ``spans_boundary`` counts those). Emits each document's
+    (shard, sequence, offset) coordinate — the index a random-access
+    training loader needs.
+
+    Determinism: the "shuffle" is md5(doc_id) — a reproducible
+    permutation, same property a seeded epoch shuffle gives the
+    trainer. Both the shard fan-out and the intra-shard order derive
+    from it.
+
+    Scale shape: one hash-partition shuffle to shards, then the
+    running token sum is a window PER SHARD — parallel across shards,
+    bounded per task by corpus/#shards (shard count scales with the
+    cluster; `doc_shard_assignment` shows the bucket-decomposed prefix
+    sum if even one shard's stream outgrows a task). No global
+    single-task window anywhere."""
+    docs = _docs_par(spark, sf_dir)
+    h = md5_int(F.col("doc_id").cast("string"))
+    d = docs.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(PACK_SHARDS)))
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum", F.sum("n_tokens").over(win))
+    start = F.col("cum") - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) DIV {PACK_SEQ_LEN}").alias("seq_idx"),
+        (start % PACK_SEQ_LEN).alias("seq_offset"),
+        (
+            F.expr(f"(cum - CAST(1 AS BIGINT)) DIV {PACK_SEQ_LEN}")
+            > F.expr(f"(cum - n_tokens) DIV {PACK_SEQ_LEN}")
+        ).alias("spans_boundary"),
+    )
+
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, h % {PACK_SHARDS} AS shard,
+         SUM(n_tokens) OVER (PARTITION BY h % {PACK_SHARDS}
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT doc_id, shard, n_tokens,
+       (cum - n_tokens) // {PACK_SEQ_LEN} AS seq_idx,
+       (cum - n_tokens) % {PACK_SEQ_LEN} AS seq_offset,
+       (cum - 1) // {PACK_SEQ_LEN} > (cum - n_tokens) // {PACK_SEQ_LEN}
+         AS spans_boundary
+FROM c
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "lm_perplexity_score": (lm_perplexity_score, _PPL_SQL),
     "dsir_importance_weights": (dsir_importance_weights, _DSIR_SQL),
+    "sequence_packing": (sequence_packing, _PACK_SQL),
 }
