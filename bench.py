@@ -210,6 +210,7 @@ def main() -> None:
         "lm_perplexity_score",
         "dsir_importance_weights",
         "sequence_packing",
+        "line_dedup_clean",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

@@ -112,6 +112,10 @@ def main() -> None:
         ("sequence_packing", "concat-and-chunk packing: one shard "
          "shuffle then a running-sum window PER SHARD — parallel "
          "across shards, no global single-task window"),
+        ("line_dedup_clean", "RefinedWeb stage 2: tiny hot-line "
+         "dictionary from the census rides as a BROADCAST left join "
+         "over the span stream — the corpus never shuffles on line "
+         "text; kept bytes pinned by fingerprint sum"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))

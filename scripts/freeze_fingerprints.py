@@ -90,6 +90,25 @@ def main() -> None:
         s_sd = sum(q9(r.stopword_density) for r in spans.itertuples())
         print(f"SPANS_FP[{n_docs}] = ({len(spans)}, {s_fp}, {s_ld}, {s_sd})")
 
+        # line-dedup stage 2 (line_dedup_clean): census over span
+        # lines (distinct-url df >= threshold), then the kept-corpus
+        # fingerprint after dropping every flagged line
+        from text_extraction_evaluation_spark.plans.q_webtext import (
+            LINE_DF_THRESHOLD,
+        )
+
+        df_counts = spans.groupby("text")["url"].nunique()
+        hot = set(df_counts[df_counts >= LINE_DF_THRESHOLD].index)
+        is_hot = spans["text"].isin(hot)
+        lc_fp = sum(
+            fp48(f"{r.url}|{r.idx}|{r.text}")
+            for r in spans[~is_hot].itertuples()
+        )
+        print(
+            f"LINE_CLEAN[{n_docs}] = ({len(spans)}, {int((~is_hot).sum())}, "
+            f"{int(is_hot.sum())}, {spans.loc[is_hot, 'url'].nunique()}, {lc_fp})"
+        )
+
         c_fp = sum(
             fp48("|".join([r.url, r.extractor, r.dataset, str(r.matched),
                            str(r.matched_bow), str(r.retrieved),

@@ -406,10 +406,80 @@ WHERE n_urls >= {LINE_DF_THRESHOLD}
 """
 
 
+def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet line dedup STAGE 2 — the actual cleaning:
+    drop every line the census flags (document frequency >=
+    LINE_DF_THRESHOLD urls) from every document and pin the surviving
+    corpus byte-for-byte with a 48-bit fingerprint sum over
+    url|idx|text. One driver row: total/kept/dropped line counts,
+    urls touched, and the kept-corpus fingerprint.
+
+    Scale shape: the hot-line dictionary is the census output — tiny
+    by construction (only lines repeated across >= 50 urls survive the
+    threshold), so membership is a BROADCAST left join, never a
+    shuffle of the corpus on line text. The census aggregate itself is
+    the map-side-combined shape documented on
+    ``boilerplate_line_census``. Two scans of the span lineage total
+    (census + clean), the inherent stage-1/stage-2 structure — on a
+    real run the census is persisted between them (sources.catalog).
+
+    Oracle: frozen golden fingerprints from the pinned single-process
+    oracle (scripts/freeze_fingerprints.py), same honest scope as the
+    other extraction-family gates — the gate pins distribution-layer
+    parity of the census + anti-join plumbing."""
+    from ..operators.extract import extract_spans, latest_crawl
+    from ..sources.readers import pages_df
+
+    pages = latest_crawl(
+        pages_df(spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism)
+    )
+    spans = extract_spans(pages).select("url", "idx", "text")
+    hot = (
+        spans.groupBy("text")
+        .agg(F.countDistinct("url").alias("n_urls"))
+        .filter(F.col("n_urls") >= LINE_DF_THRESHOLD)
+        .select("text", F.lit(True).alias("is_hot"))
+    )
+    flagged = spans.join(F.broadcast(hot), "text", "left").select(
+        "url",
+        "idx",
+        "text",
+        F.coalesce(F.col("is_hot"), F.lit(False)).alias("is_hot"),
+    )
+    kept_fp = F.when(
+        ~F.col("is_hot"),
+        _fp48(F.concat_ws("|", "url", F.col("idx").cast("string"), "text")),
+    ).otherwise(F.lit(0))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((~F.col("is_hot")).cast("bigint")).alias("n_kept"),
+        F.sum(F.col("is_hot").cast("bigint")).alias("n_dropped"),
+        F.countDistinct(F.when(F.col("is_hot"), F.col("url"))).alias(
+            "n_urls_touched"
+        ),
+        F.sum(kept_fp).alias("kept_fp_sum"),
+    )
+
+
+# Frozen golden twin (scripts/freeze_fingerprints.py), keyed on fixture
+# size like the other extraction-family gates.
+_LINE_CLEAN_SQL = """
+SELECT n_lines, n_kept, n_dropped, n_urls_touched, kept_fp_sum
+FROM (VALUES
+  (1000,  CAST(3413 AS BIGINT), CAST(2077 AS BIGINT), CAST(1336 AS BIGINT),
+          CAST(500 AS BIGINT), CAST(289211926507667724 AS BIGINT)),
+  (10000, CAST(3244 AS BIGINT), CAST(1908 AS BIGINT), CAST(1336 AS BIGINT),
+          CAST(500 AS BIGINT), CAST(260608932958251538 AS BIGINT))
+) t(n_events, n_lines, n_kept, n_dropped, n_urls_touched, kept_fp_sum)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "pii_redaction": (pii_redaction, _PII_SQL),
     "url_blocklist_filter": (url_blocklist_filter, _blocklist_sql()),
     "crawl_content_diff": (crawl_content_diff, _crawl_diff_sql()),
     "boilerplate_line_census": (boilerplate_line_census, _LINE_CENSUS_SQL),
+    "line_dedup_clean": (line_dedup_clean, _LINE_CLEAN_SQL),
 }
