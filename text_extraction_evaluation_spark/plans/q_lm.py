@@ -261,6 +261,61 @@ FROM scored
 """
 
 
+def ppl_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's final cut: split each language's documents into
+    perplexity terciles (head / middle / tail) and report the
+    per-(lang, bucket) census — doc count, token mass, and the
+    integer NLL range — the table a mix planner reads to decide which
+    buckets feed the training mix.
+
+    Determinism: ntile runs over (avg_nll, doc_id) — the rounded
+    double is identical cross-engine (derived from exact integer sums,
+    module docstring) and doc_id breaks ties totally.
+
+    Scale shape: the per-doc scoring is `lm_perplexity_score`'s
+    broadcast plan; the tercile window partitions BY LANGUAGE — wide
+    corpora have few languages, so at 100 TB this is the one stage
+    CCNet itself does per-language on a sample: cut thresholds come
+    from a per-lang sample or the exact-percentile pattern
+    (`corpus_length_percentiles`), never a single global sort. The
+    fixture-exact ntile keeps the oracle sharp; the census output is
+    O(langs * 3) rows either way."""
+    scored = lm_perplexity_score(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    bucketed = scored.withColumn("tercile", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("tercile"),
+        ),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("n_bigrams"),
+        F.min("sum_nll_e6").alias("min_nll_e6"),
+        F.max("sum_nll_e6").alias("max_nll_e6"),
+    )
+
+
+_PPL_BUCKET_SQL = f"""
+WITH scored AS ({_PPL_SQL}),
+b AS (
+  SELECT lang, n_bigrams, sum_nll_e6,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id)
+           AS tercile
+  FROM scored
+)
+SELECT lang,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       SUM(n_bigrams) AS n_bigrams,
+       MIN(sum_nll_e6) AS min_nll_e6,
+       MAX(sum_nll_e6) AS max_nll_e6
+FROM b GROUP BY lang, bucket
+"""
+
+
 # Sequence packing: context-window token budget and the shard fan-out
 # of the pre-training writer. Shard count scales with the cluster at
 # 100 TB (thousands); 8 keeps the fixture's per-shard streams long
@@ -343,5 +398,6 @@ FROM c
 _REGISTRY = {
     "lm_perplexity_score": (lm_perplexity_score, _PPL_SQL),
     "dsir_importance_weights": (dsir_importance_weights, _DSIR_SQL),
+    "ppl_bucket_census": (ppl_bucket_census, _PPL_BUCKET_SQL),
     "sequence_packing": (sequence_packing, _PACK_SQL),
 }
