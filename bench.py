@@ -211,6 +211,7 @@ def main() -> None:
         "dsir_importance_weights",
         "sequence_packing",
         "line_dedup_clean",
+        "curation_funnel",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

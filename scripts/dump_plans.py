@@ -116,6 +116,10 @@ def main() -> None:
          "dictionary from the census rides as a BROADCAST left join "
          "over the span stream — the corpus never shuffles on line "
          "text; kept bytes pinned by fingerprint sum"),
+        ("curation_funnel", "the whole 5-stage curation pipeline as "
+         "one plan: every stage a flag column (one text window + two "
+         "broadcasts + map-side exprs), census = a single stacked "
+         "one-row aggregate — no per-stage corpus passes"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))

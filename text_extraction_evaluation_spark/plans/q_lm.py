@@ -394,10 +394,213 @@ FROM c
 """
 
 
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan — the
+    DataComp/RefinedWeb-style funnel every pretraining corpus walks,
+    with the per-stage census (docs in / out / dropped) that data
+    reports publish:
+
+      1. exact_dedup — keep the min doc_id per exact text
+      2. quality    — C4 heuristic gate (`quality_filter`'s rule)
+      3. repetition — Gopher integer rules (`quality_repetition`)
+      4. near_dup   — MinHash-LSH → verified Jaccard → connected
+                      components, drop non-minimum members
+      5. ppl_tail   — drop the per-language perplexity tail tercile
+
+    Stage artifacts that are corpus-level statistics (the near-dup
+    component graph, the perplexity tercile cuts) are computed over
+    the FULL corpus and applied as filters — exactly how production
+    pipelines stage them (dedup runs once corpus-wide; CCNet's cuts
+    come from the corpus distribution), and what keeps the funnel a
+    pure conjunction: each stage's census is the count of docs passing
+    flags 1..k, so n_in(k) == n_out(k-1) by construction.
+
+    Scale shape: every flag is a column — one text-key window (same
+    shuffle class as `dedup_exact`), the broadcast near-dup drop list
+    (tiny: only docs IN a dup component), the broadcast tercile table
+    (from `lm_perplexity_score`'s broadcast plan), and map-side
+    quality/repetition expressions. The census is a single one-row
+    aggregate stacked to 5 rows — no per-stage corpus passes."""
+    from ..functions.text import word_shingles_all
+    from ..operators.dedup import connected_components, verified_near_dup_pairs
+
+    docs = _docs_par(spark, sf_dir)
+    w = tokens_col("text")
+    n_tok = F.size(w)
+
+    # stage 1: exact dedup
+    f1 = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("text"))
+
+    # stage 2: C4-style quality (quality_filter's exact rule)
+    mean_len = F.aggregate(
+        w, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    ).cast("double") / n_tok
+    from .common import STOPWORDS_SORTED
+
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: F.lower(t).isin(*STOPWORDS_SORTED))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    f2 = (n_tok >= 50) & (mean_len >= 3.0) & (mean_len <= 10.0) & (
+        stop_ratio >= 0.05
+    )
+
+    # stage 3: Gopher repetition (quality_repetition's integer rules)
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(w), lambda x: F.size(F.filter(w, lambda y: y == x)))
+    )
+    sh2, sh3 = word_shingles_all(w, 2), word_shingles_all(w, 3)
+    total2, total3 = F.size(sh2), F.size(sh3)
+    dup2 = total2 - F.size(F.array_distinct(sh2))
+    dup3 = total3 - F.size(F.array_distinct(sh3))
+    f3 = ~((top_cnt * 5 > n_tok) | (dup2 * 2 > total2) | (dup3 * 5 > total3))
+
+    base = docs.select(
+        "doc_id",
+        f1.alias("f1"),
+        f2.alias("f2"),
+        f3.alias("f3"),
+    )
+
+    # stage 4: corpus-wide near-dup component drop list (broadcast)
+    pairs = verified_near_dup_pairs(docs, threshold=0.8)
+    drops = (
+        connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id", F.lit(True).alias("dropped"))
+    )
+
+    # stage 5: per-lang perplexity tercile (3 == tail), full corpus
+    scored = lm_perplexity_score(spark, sf_dir)
+    terc = scored.select(
+        "doc_id",
+        F.ntile(3)
+        .over(Window.partitionBy("lang").orderBy("avg_nll", "doc_id"))
+        .alias("tercile"),
+    )
+
+    flags = (
+        base.join(F.broadcast(drops), "doc_id", "left")
+        .join(F.broadcast(terc), "doc_id", "left")
+        .select(
+            "f1",
+            "f2",
+            "f3",
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("f4"),
+            F.coalesce(F.col("tercile") != 3, F.lit(True)).alias("f5"),
+        )
+    )
+    b = lambda c: c.cast("bigint")  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(b(F.col("f1"))).alias("n1"),
+        F.sum(b(F.col("f1") & F.col("f2"))).alias("n2"),
+        F.sum(b(F.col("f1") & F.col("f2") & F.col("f3"))).alias("n3"),
+        F.sum(b(F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4"))).alias(
+            "n4"
+        ),
+        F.sum(
+            b(F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4") & F.col("f5"))
+        ).alias("n5"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5,"
+            " CAST(1 AS BIGINT), 'exact_dedup', n0, n1,"
+            " CAST(2 AS BIGINT), 'quality',     n1, n2,"
+            " CAST(3 AS BIGINT), 'repetition',  n2, n3,"
+            " CAST(4 AS BIGINT), 'near_dup',    n3, n4,"
+            " CAST(5 AS BIGINT), 'ppl_tail',    n4, n5)"
+            " AS (stage_ord, stage, n_in, n_out)"
+        )
+    ).withColumn("n_dropped", F.col("n_in") - F.col("n_out"))
+
+
+def _funnel_sql() -> str:
+    from .q_corpus import _minhash_verified_sql
+    from .common import _STOP_SQL
+
+    pairs = _minhash_verified_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+reach(src, node) AS (
+  SELECT doc_id_a, doc_id_a FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_b FROM pairs
+  UNION
+  SELECT r.src,
+         CASE WHEN p.doc_id_a = r.node THEN p.doc_id_b ELSE p.doc_id_a END
+  FROM reach r JOIN pairs p ON r.node IN (p.doc_id_a, p.doc_id_b)
+),
+comp AS (SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src),
+drops AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+scored AS ({_PPL_SQL}),
+terc AS (
+  SELECT doc_id,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS tercile
+  FROM scored
+),
+base AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\\s+') AS w,
+         MIN(doc_id) OVER (PARTITION BY text) AS min_id
+  FROM documents
+),
+m AS (
+  SELECT doc_id, min_id, w, len(w) AS n,
+         CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+           / len(w) AS mean_len,
+         CAST(len(list_filter(w, t -> list_contains([{_STOP_SQL}], lower(t))))
+              AS DOUBLE) / len(w) AS stop_ratio,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x)))) AS top_cnt,
+         [array_to_string(w[i:i+1], ' ')
+          FOR i IN range(1, GREATEST(len(w) - 0, 1))] AS sh2,
+         [array_to_string(w[i:i+2], ' ')
+          FOR i IN range(1, GREATEST(len(w) - 1, 1))] AS sh3
+  FROM base
+),
+flags AS (
+  SELECT m.doc_id,
+         (m.doc_id = m.min_id) AS f1,
+         (n >= 50 AND mean_len >= 3.0 AND mean_len <= 10.0
+          AND stop_ratio >= 0.05) AS f2,
+         NOT (top_cnt * 5 > n
+              OR (len(sh2) - len(list_distinct(sh2))) * 2 > len(sh2)
+              OR (len(sh3) - len(list_distinct(sh3))) * 5 > len(sh3)) AS f3,
+         (d.doc_id IS NULL) AS f4,
+         COALESCE(t.tercile <> 3, TRUE) AS f5
+  FROM m
+  LEFT JOIN drops d ON d.doc_id = m.doc_id
+  LEFT JOIN terc t ON t.doc_id = m.doc_id
+),
+agg AS (
+  SELECT COUNT(*) AS n0,
+         SUM(CAST(f1 AS BIGINT)) AS n1,
+         SUM(CAST(f1 AND f2 AS BIGINT)) AS n2,
+         SUM(CAST(f1 AND f2 AND f3 AS BIGINT)) AS n3,
+         SUM(CAST(f1 AND f2 AND f3 AND f4 AS BIGINT)) AS n4,
+         SUM(CAST(f1 AND f2 AND f3 AND f4 AND f5 AS BIGINT)) AS n5
+  FROM flags
+)
+SELECT stage_ord, stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_ord, 'exact_dedup' AS stage,
+         n0 AS n_in, n1 AS n_out FROM agg
+  UNION ALL SELECT CAST(2 AS BIGINT), 'quality',    n1, n2 FROM agg
+  UNION ALL SELECT CAST(3 AS BIGINT), 'repetition', n2, n3 FROM agg
+  UNION ALL SELECT CAST(4 AS BIGINT), 'near_dup',   n3, n4 FROM agg
+  UNION ALL SELECT CAST(5 AS BIGINT), 'ppl_tail',   n4, n5 FROM agg
+)
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "lm_perplexity_score": (lm_perplexity_score, _PPL_SQL),
     "dsir_importance_weights": (dsir_importance_weights, _DSIR_SQL),
     "ppl_bucket_census": (ppl_bucket_census, _PPL_BUCKET_SQL),
     "sequence_packing": (sequence_packing, _PACK_SQL),
+    "curation_funnel": (curation_funnel, _funnel_sql()),
 }
