@@ -97,6 +97,39 @@ def test_bloom_filter_membership(spark):
     assert fp <= 2000 * fpp * 5
 
 
+def test_count_min_heavy_hitter(spark):
+    """Count-min sketch over the synthesized page hosts — the
+    fixed-size frequency sketch that finds hot domains without a full
+    (host, count) aggregate. Built by Spark's distributed
+    count_min_sketch aggregate (partial sketches merged across
+    partitions), read back through the JVM sketch, and checked for
+    the CMS contract: never under-counts, over-counts bounded by
+    eps * stream size."""
+    from text_extraction_evaluation_spark.sources.readers import pages_df
+
+    pages = pages_df(spark, SF0001, n_partitions=8).select(
+        F.regexp_extract("url", r"^http://([^/]+)", 1).alias("host")
+    )
+    eps, conf = 0.01, 0.99
+    blob = pages.agg(
+        F.count_min_sketch("host", F.lit(eps), F.lit(conf), F.lit(42)).alias("s")
+    ).collect()[0].s
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(blob)
+    )
+    exact = {r.host: r.n for r in pages.groupBy("host").count().withColumnRenamed("count", "n").collect()}
+    total = sum(exact.values())
+    for host, n in exact.items():
+        est = cms.estimateCount(host)
+        assert est >= n, (host, est, n)
+        assert est <= n + eps * total * 3, (host, est, n)
+    # the synth corpus plants a hot host: the sketch must rank it first
+    hot = max(exact, key=exact.get)
+    assert cms.estimateCount(hot) == max(
+        cms.estimateCount(h) for h in exact
+    )
+
+
 def test_bloom_build_merge_associativity(spark):
     """The word bitmap must be topology-independent: the same filter
     must come out of an 8-partition build and a 2-partition build of
