@@ -604,6 +604,85 @@ GROUP BY d.lang
 """
 
 
+def dedup_keep_best_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal with the PRODUCTION survivor policy: within
+    each connected component keep the highest-value member — here the
+    longest document (n_chars, doc_id tiebreak) — instead of
+    `dedup_keep_census`'s min-id. Real pipelines keep the best copy
+    (longest text, highest quality score, freshest crawl); this query
+    proves the survivor policy is a pluggable ranking, not baked into
+    the component machinery. Census per language: total / kept /
+    dropped, plus the char mass the policy preserved.
+
+    Scale shape: identical to `dedup_keep_census` up to the component
+    table; the policy adds one ranking window PARTITIONED BY COMPONENT
+    (components are tiny — bounded by near-dup cluster size) and the
+    same tiny drop-list broadcast join."""
+    from ..operators.dedup import connected_components, verified_near_dup_pairs
+
+    docs = _docs_par(spark, sf_dir)
+    pairs = verified_near_dup_pairs(docs, threshold=0.8)
+    comp = connected_components(pairs)
+    members = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    drops = (
+        members.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .select("doc_id", F.lit(1).alias("dropped"))
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(F.broadcast(drops), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                (F.coalesce("dropped", F.lit(0)) == 0).cast("bigint")
+            ).alias("n_kept"),
+            F.sum(F.coalesce("dropped", F.lit(0))).alias("n_dropped"),
+            F.sum(
+                F.when(F.coalesce("dropped", F.lit(0)) == 0, F.col("n_chars"))
+                .otherwise(0)
+                .cast("bigint")
+            ).alias("kept_chars"),
+        )
+    )
+
+
+def _keep_best_census_sql() -> str:
+    pairs = _minhash_verified_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+reach(src, node) AS (
+  SELECT doc_id_a, doc_id_a FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_b FROM pairs
+  UNION
+  SELECT r.src,
+         CASE WHEN p.doc_id_a = r.node THEN p.doc_id_b ELSE p.doc_id_a END
+  FROM reach r JOIN pairs p ON r.node IN (p.doc_id_a, p.doc_id_b)
+),
+comp AS (SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src),
+ranked AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rk
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+drops AS (SELECT doc_id FROM ranked WHERE rk > 1)
+SELECT d.lang,
+       COUNT(*) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE dr.doc_id IS NULL) AS BIGINT) AS n_kept,
+       CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document from md5 3-word-shingle hashes — one
     pass: explode distinct shingles, 48 conditional sums, recombine.
@@ -1157,6 +1236,7 @@ _REGISTRY = {
     "dedup_minhash_verified": (dedup_minhash_verified, _minhash_verified_sql()),
     "dedup_components": (dedup_components, _components_sql()),
     "dedup_keep_census": (dedup_keep_census, _keep_census_sql()),
+    "dedup_keep_best_census": (dedup_keep_best_census, _keep_best_census_sql()),
     "doc_rolling_fingerprints": (doc_rolling_fingerprints, _ROLLING_FP_SQL),
     "dedup_simhash": (dedup_simhash, _simhash_sql(pairs=False)),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_sql(pairs=True)),
