@@ -324,27 +324,10 @@ PACK_SEQ_LEN = 512
 PACK_SHARDS = 8
 
 
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing — the last hop before tokens hit the trainer:
-    documents are globally shuffled (hash order), fanned out to
-    shards, and packed CONTIGUOUSLY into fixed-token-budget sequences
-    (GPT-style concat-and-chunk: a document may span a sequence
-    boundary; ``spans_boundary`` counts those). Emits each document's
-    (shard, sequence, offset) coordinate — the index a random-access
-    training loader needs.
-
-    Determinism: the "shuffle" is md5(doc_id) — a reproducible
-    permutation, same property a seeded epoch shuffle gives the
-    trainer. Both the shard fan-out and the intra-shard order derive
-    from it.
-
-    Scale shape: one hash-partition shuffle to shards, then the
-    running token sum is a window PER SHARD — parallel across shards,
-    bounded per task by corpus/#shards (shard count scales with the
-    cluster; `doc_shard_assignment` shows the bucket-decomposed prefix
-    sum if even one shard's stream outgrows a task). No global
-    single-task window anywhere."""
-    docs = _docs_par(spark, sf_dir)
+def pack_coordinates(docs: DataFrame) -> DataFrame:
+    """Core of `sequence_packing`, reusable over any document set
+    (the curation job packs the CURATED survivors, not the raw
+    corpus): docs must carry (doc_id, text)."""
     h = md5_int(F.col("doc_id").cast("string"))
     d = docs.select(
         "doc_id",
@@ -371,6 +354,29 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the last hop before tokens hit the trainer:
+    documents are globally shuffled (hash order), fanned out to
+    shards, and packed CONTIGUOUSLY into fixed-token-budget sequences
+    (GPT-style concat-and-chunk: a document may span a sequence
+    boundary; ``spans_boundary`` counts those). Emits each document's
+    (shard, sequence, offset) coordinate — the index a random-access
+    training loader needs.
+
+    Determinism: the "shuffle" is md5(doc_id) — a reproducible
+    permutation, same property a seeded epoch shuffle gives the
+    trainer. Both the shard fan-out and the intra-shard order derive
+    from it.
+
+    Scale shape: one hash-partition shuffle to shards, then the
+    running token sum is a window PER SHARD — parallel across shards,
+    bounded per task by corpus/#shards (shard count scales with the
+    cluster; `doc_shard_assignment` shows the bucket-decomposed prefix
+    sum if even one shard's stream outgrows a task). No global
+    single-task window anywhere."""
+    return pack_coordinates(_docs_par(spark, sf_dir))
+
+
 _PACK_SQL = f"""
 WITH d AS (
   SELECT doc_id,
@@ -392,6 +398,49 @@ SELECT doc_id, shard, n_tokens,
          AS spans_boundary
 FROM c
 """
+
+
+def c4_quality_keep(w) -> "F.Column":
+    """`quality_filter`'s exact C4-style keep rule as a map-side
+    expression over a token array (shared by the funnel query and the
+    curation job)."""
+    from .common import STOPWORDS_SORTED
+
+    n_tok = F.size(w)
+    mean_len = F.aggregate(
+        w, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    ).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: F.lower(t).isin(*STOPWORDS_SORTED))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    return (
+        (n_tok >= 50)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (stop_ratio >= 0.05)
+    )
+
+
+def gopher_repetition_pass(w) -> "F.Column":
+    """`quality_repetition`'s pure-integer pass rule as a map-side
+    expression over a token array (shared by the funnel query and the
+    curation job)."""
+    from ..functions.text import word_shingles_all
+
+    n_tok = F.size(w)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(w), lambda x: F.size(F.filter(w, lambda y: y == x))
+        )
+    )
+    sh2, sh3 = word_shingles_all(w, 2), word_shingles_all(w, 3)
+    total2, total3 = F.size(sh2), F.size(sh3)
+    dup2 = total2 - F.size(F.array_distinct(sh2))
+    dup3 = total3 - F.size(F.array_distinct(sh3))
+    return ~((top_cnt * 5 > n_tok) | (dup2 * 2 > total2) | (dup3 * 5 > total3))
 
 
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,41 +470,16 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (from `lm_perplexity_score`'s broadcast plan), and map-side
     quality/repetition expressions. The census is a single one-row
     aggregate stacked to 5 rows — no per-stage corpus passes."""
-    from ..functions.text import word_shingles_all
     from ..operators.dedup import connected_components, verified_near_dup_pairs
 
     docs = _docs_par(spark, sf_dir)
     w = tokens_col("text")
-    n_tok = F.size(w)
 
     # stage 1: exact dedup
     f1 = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("text"))
-
-    # stage 2: C4-style quality (quality_filter's exact rule)
-    mean_len = F.aggregate(
-        w, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
-    ).cast("double") / n_tok
-    from .common import STOPWORDS_SORTED
-
-    stop_ratio = (
-        F.size(F.filter(w, lambda t: F.lower(t).isin(*STOPWORDS_SORTED))).cast(
-            "double"
-        )
-        / n_tok
-    )
-    f2 = (n_tok >= 50) & (mean_len >= 3.0) & (mean_len <= 10.0) & (
-        stop_ratio >= 0.05
-    )
-
-    # stage 3: Gopher repetition (quality_repetition's integer rules)
-    top_cnt = F.array_max(
-        F.transform(F.array_distinct(w), lambda x: F.size(F.filter(w, lambda y: y == x)))
-    )
-    sh2, sh3 = word_shingles_all(w, 2), word_shingles_all(w, 3)
-    total2, total3 = F.size(sh2), F.size(sh3)
-    dup2 = total2 - F.size(F.array_distinct(sh2))
-    dup3 = total3 - F.size(F.array_distinct(sh3))
-    f3 = ~((top_cnt * 5 > n_tok) | (dup2 * 2 > total2) | (dup3 * 5 > total3))
+    # stages 2-3: map-side rules shared with the curation job
+    f2 = c4_quality_keep(w)
+    f3 = gopher_repetition_pass(w)
 
     base = docs.select(
         "doc_id",
