@@ -259,3 +259,53 @@ def test_hot_key_caps_bound_pair_blowup(spark, tmp_path):
     assert (10_000, 10_001) in cont_pairs
     assert all(a >= 10_000 for a, _ in cont_pairs)
     assert len(cont) < 10
+
+
+def test_dup_span_census_and_clean_on_planted_spans(spark, tmp_path):
+    """ExactSubstr tier: a 20-token run S planted in two docs (and
+    twice inside a third) must surface as merged maximal spans with
+    exact boundaries; cleaning must drop exactly those tokens and pin
+    the remainder byte-for-byte."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from text_extraction_evaluation_spark.plans.queries import (
+        DUP_SPAN_L,
+        dup_span_census,
+        dup_span_clean,
+    )
+
+    assert DUP_SPAN_L == 15  # boundary math below assumes it
+    S = [f"s{i}" for i in range(20)]
+    a = [f"a{i}" for i in range(9)] + S + [f"a{i}" for i in range(9, 20)]
+    b = [f"b{i}" for i in range(4)] + S + [f"b{i}" for i in range(4, 10)]
+    c = [f"c{i}" for i in range(25)]  # no duplicates anywhere
+    d = [f"d{i}" for i in range(9)] + S + S + [f"d{i}" for i in range(9, 14)]
+    rows = [
+        (1, " ".join(a), "en", "src0"),
+        (2, " ".join(b), "en", "src0"),
+        (3, " ".join(c), "en", "src0"),
+        (4, " ".join(d), "en", "src0"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    census = {r["doc_id"]: r for r in dup_span_census(spark, sf_dir).collect()}
+    assert set(census) == {1, 2, 4}  # doc 3 untouched
+    assert (census[1]["n_dup_spans"], census[1]["dup_tokens"]) == (1, 20)
+    assert (census[2]["n_dup_spans"], census[2]["dup_tokens"]) == (1, 20)
+    # in-doc repeat: two adjacent S copies merge into TWO maximal
+    # spans (cross-boundary windows are unique, so the merge stops at
+    # the copy boundary), covering exactly both copies
+    assert (census[4]["n_dup_spans"], census[4]["dup_tokens"]) == (2, 40)
+
+    clean = {r["doc_id"]: r for r in dup_span_clean(spark, sf_dir).collect()}
+    assert clean[1]["n_kept"] == 20 and clean[2]["n_kept"] == 10
+    assert clean[3]["n_kept"] == 25 and clean[4]["n_kept"] == 14
+    want_a = " ".join(t for t in a if not t.startswith("s"))
+    assert clean[1]["clean_fp"] == hashlib.md5(want_a.encode()).hexdigest()
+    assert clean[3]["clean_fp"] == hashlib.md5(" ".join(c).encode()).hexdigest()

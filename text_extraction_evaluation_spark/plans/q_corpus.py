@@ -522,6 +522,229 @@ JOIN sizes sb ON sb.doc_id = doc_id_b
 """
 
 
+# Token-span exact-substring dedup (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr tier).
+# 50 tokens in the paper; 15 keeps fixture docs (10-99 tokens) in range.
+DUP_SPAN_L = 15
+
+
+def _dup_span_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, p) of every L-token window whose content hash
+    occurs >= 2 times corpus-wide (any repeat counts, same-doc
+    included — the paper's rule). Scale shape: window hashes are pure
+    map-side (slice+zip shingles, explode factor = tokens/doc), the
+    dup set is ONE map-side-combinable hash aggregate, and flagging is
+    a hash equi-join back — there is NO position-pair join anywhere,
+    so a window repeated k times costs O(k) rows, never O(k^2)."""
+    L = DUP_SPAN_L
+    t = _docs_par(spark, sf_dir).select(
+        "doc_id", tokens_col("text").alias("w")
+    )
+    pos = t.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.posexplode(word_shingles_all(F.col("w"), L)).alias("p0", "sh"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("p0") + 1).alias("p"),
+        F.md5("sh").alias("h"),
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    return pos.join(dup.select("h"), "h").select("doc_id", "n_tokens", "p")
+
+
+def _dup_spans(flagged: DataFrame) -> DataFrame:
+    """Merge flagged windows into MAXIMAL duplicated spans per doc:
+    interval union via a running max of window ends (a new span starts
+    where a window clears everything before it). The window is
+    per-doc — bounded by document length, parallel across docs."""
+    L = DUP_SPAN_L
+    wn = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + (L - 1)).over(
+        wn.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = flagged.withColumn(
+        "ns",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("ns").over(wn))
+    return s.groupBy("doc_id", "n_tokens", "span_id").agg(
+        F.min("p").alias("s"), (F.max("p") + (L - 1)).alias("e")
+    )
+
+
+def dup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr detection census: per affected document, how many
+    maximal duplicated token spans it carries and what fraction of its
+    tokens they cover — the measure-before-cut stage of span-level
+    dedup (doc-level minhash and line-level dedup live in their own
+    entries; this is the granularity between them)."""
+    per = _dup_spans(_dup_span_flagged(spark, sf_dir))
+    return (
+        per.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ),
+        )
+    )
+
+
+_DUP_SPAN_CENSUS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, len(w) AS n_tokens, p,
+         md5(array_to_string(w[p:p+{DUP_SPAN_L - 1}], ' ')) AS h
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(w) - {DUP_SPAN_L - 1}, 0))) AS p
+  ) _
+),
+dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+f AS (SELECT doc_id, n_tokens, p FROM pos JOIN dup USING (h)),
+m AS (
+  SELECT doc_id, n_tokens, p,
+         max(p + {DUP_SPAN_L - 1}) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_end
+  FROM f
+),
+s AS (
+  SELECT doc_id, n_tokens, p,
+         CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END AS ns
+  FROM m
+),
+sp AS (
+  SELECT doc_id, n_tokens, p,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+  FROM s
+),
+per AS (
+  SELECT doc_id, n_tokens, span_id,
+         min(p) AS sp_s, max(p) + {DUP_SPAN_L - 1} AS sp_e
+  FROM sp GROUP BY doc_id, n_tokens, span_id
+)
+SELECT doc_id, n_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(sum(sp_e - sp_s + 1) AS BIGINT) AS dup_tokens,
+       round(CAST(sum(sp_e - sp_s + 1) AS DOUBLE) / n_tokens, 6) AS dup_frac
+FROM per GROUP BY doc_id, n_tokens
+"""
+
+
+def dup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cleaning: drop every duplicated span's tokens from
+    every document and pin the cleaned corpus byte-for-byte (md5 of
+    the space-joined kept tokens). Policy: ALL occurrences are
+    removed (the drop-all variant Lee et al. note performs on par
+    with keep-one, and the only policy with no cross-document
+    coordination — keep-one needs a global canonical occurrence per
+    span, i.e. one more aggregate). Per-doc span lists ride a
+    collect_list per doc (bounded by doc length), token filtering is
+    a JVM higher-order lambda — no Python in the loop."""
+    spans = (
+        _dup_spans(_dup_span_flagged(spark, sf_dir))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("spans"))
+    )
+    t = _docs_par(spark, sf_dir).select(
+        "doc_id", tokens_col("text").alias("w")
+    )
+    j = t.join(spans, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce("spans", F.array().cast("array<struct<s:int,e:int>>")),
+    )
+    idx = F.transform(
+        F.col("w"),
+        lambda x, i: F.struct((i + 1).alias("i"), x.alias("t")),
+    )
+    kept = F.filter(
+        idx,
+        lambda st: ~F.exists(
+            F.col("spans"),
+            lambda sp: (sp["s"] <= st["i"]) & (st["i"] <= sp["e"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.transform(kept, lambda st: st["t"]).alias("kt"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.size("kt").alias("n_kept"),
+        F.md5(F.concat_ws(" ", "kt")).alias("clean_fp"),
+    )
+
+
+_DUP_SPAN_CLEAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, p, md5(array_to_string(w[p:p+{DUP_SPAN_L - 1}], ' ')) AS h
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(w) - {DUP_SPAN_L - 1}, 0))) AS p
+  ) _
+),
+dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+f AS (SELECT doc_id, p FROM pos JOIN dup USING (h)),
+m AS (
+  SELECT doc_id, p,
+         max(p + {DUP_SPAN_L - 1}) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_end
+  FROM f
+),
+s AS (
+  SELECT doc_id, p,
+         CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END AS ns
+  FROM m
+),
+sp AS (
+  SELECT doc_id, p, sum(ns) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+  FROM s
+),
+per AS (
+  SELECT doc_id, span_id, min(p) AS sp_s, max(p) + {DUP_SPAN_L - 1} AS sp_e
+  FROM sp GROUP BY doc_id, span_id
+),
+cov AS (
+  SELECT doc_id, unnest(generate_series(sp_s, sp_e)) AS i FROM per
+),
+tok AS (
+  SELECT doc_id, i, w[i] AS t
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) _
+),
+kept AS (
+  SELECT tok.doc_id, tok.i, tok.t
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+  WHERE cov.i IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(t, ' ' ORDER BY i) AS ct
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, len(d.w) AS n_tokens,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(a.ct, '')) AS clean_fp
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: connected components over the verified
     MinHash-LSH pair graph (iterative min-label propagation on the
@@ -1237,6 +1460,8 @@ _REGISTRY = {
     "dedup_components": (dedup_components, _components_sql()),
     "dedup_keep_census": (dedup_keep_census, _keep_census_sql()),
     "dedup_keep_best_census": (dedup_keep_best_census, _keep_best_census_sql()),
+    "dup_span_census": (dup_span_census, _DUP_SPAN_CENSUS_SQL),
+    "dup_span_clean": (dup_span_clean, _DUP_SPAN_CLEAN_SQL),
     "doc_rolling_fingerprints": (doc_rolling_fingerprints, _ROLLING_FP_SQL),
     "dedup_simhash": (dedup_simhash, _simhash_sql(pairs=False)),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_sql(pairs=True)),
