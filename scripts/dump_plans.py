@@ -120,6 +120,10 @@ def main() -> None:
          "one plan: every stage a flag column (one text window + two "
          "broadcasts + map-side exprs), census = a single stacked "
          "one-row aggregate — no per-stage corpus passes"),
+        ("dup_span_census", "ExactSubstr span dedup: map-side window "
+         "hashes, ONE dup-hash aggregate, equi-join flag-back, per-doc "
+         "interval-merge window — no position-pair join, so a window "
+         "repeated k times costs O(k) rows"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
