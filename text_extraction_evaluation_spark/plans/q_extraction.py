@@ -740,6 +740,196 @@ FROM top WHERE nn_rank <= {topk}
 """
 
 
+# SemDeDup duplicate threshold: within-cluster pairs at cosine >= tau
+# are duplicate groups. 0.3 matches the corpus-wide near-dup threshold
+# used by dedup_embedding_cosine so the two tiers are comparable.
+SEMDEDUP_TAU = 0.3
+
+
+def semantic_dedup_census(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means, then pruning
+    within-cluster cosine-near-duplicates — keeping, per duplicate
+    relation, the member with the LOWEST similarity to its cluster
+    centroid (the paper's diversity-preserving survivor rule).
+
+    Scale shape: clustering bounds pair work — the self-join runs
+    per-cell, so with k sized for a target occupancy the pair count is
+    O(n * occupancy), never O(n^2). Assignment to the final centroids
+    is a map-side broadcast argmin (zero shuffle, same pattern as
+    ann_ivf_topk); the only shuffles are the per-iteration (cell, dim)
+    k-means aggregate and the one self-join exchange on the cell key.
+    Drop policy is a dominance semi-join (v is dropped iff some
+    same-cell u has cos(u, v) >= tau and a strictly lower
+    (centroid_sim, vec_id) key), which needs NO connected-components
+    iteration — the standard at-scale approximation of the paper's
+    per-group keep-one rule.
+
+    Cross-engine determinism: vectors quantize to integers
+    (floor(x*1e6), same as kmeans_embeddings), so every dot product /
+    squared distance is exact integer arithmetic (< 2^53, exact in
+    doubles too); cosines divide two exact values, giving bitwise-equal
+    doubles in Spark and DuckDB. Emits one census row per cluster:
+    (cid, n_members, n_dup_pairs, n_dropped, n_kept)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = F.transform("v", lambda x: F.floor(x * 1e6).cast("bigint"))
+    base = emb.select("vec_id", qv.alias("qv"))
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    cent_arr = (
+        _kmeans_centroids(spark, sf_dir, k, iters)
+        .select(F.struct("cid", "cq").alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    # Map-side argmin over the broadcast one-row centroid array; carry
+    # the winning centroid's dot/self-dot as scalars so the sort struct
+    # stays array-free. (dist, cid) is unique => later fields unused.
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qv"), c["cq"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+            _idot(F.col("qv"), c["cq"]).alias("dq"),
+            _idot(c["cq"], c["cq"]).alias("cc"),
+        ),
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    qq = _idot(F.col("qv"), F.col("qv"))
+    assigned = (
+        base.join(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "qv",
+            best["cid"].alias("cell"),
+            F.sqrt(qq).alias("qn"),
+            (best["dq"] / (F.sqrt(qq) * F.sqrt(best["cc"]))).alias("csim"),
+        )
+    )
+    a = assigned.select(
+        F.col("cell").alias("cid"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("qn").alias("qn_a"),
+        F.col("csim").alias("cs_a"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("cid"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("qn").alias("qn_b"),
+        F.col("csim").alias("cs_b"),
+    )
+    cos = _idot(F.col("qv_a"), F.col("qv_b")) / (F.col("qn_a") * F.col("qn_b"))
+    pairs = (
+        a.join(b.withColumnRenamed("cid", "cid_b"),
+               (F.col("cid") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= tau)
+        .select(
+            "cid", "vec_a", "vec_b", "cs_a", "cs_b",
+            # survivor keeps the LOWEST (csim, vec_id); the pairwise
+            # loser is the higher key
+            F.when(
+                (F.col("cs_a") > F.col("cs_b"))
+                | ((F.col("cs_a") == F.col("cs_b")) & (F.col("vec_a") > F.col("vec_b"))),
+                F.col("vec_a"),
+            ).otherwise(F.col("vec_b")).alias("loser"),
+        )
+    )
+    mem = assigned.groupBy(F.col("cell").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    pcnt = pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    dropped = pairs.groupBy("cid").agg(
+        F.count_distinct("loser").alias("n_dropped")
+    )
+    return (
+        mem.join(pcnt, "cid", "left")
+        .join(dropped, "cid", "left")
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
+    )
+
+
+def _semdedup_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, tau: float = SEMDEDUP_TAU
+) -> str:
+    """DuckDB twin: the kmeans CTE chain, a final-assignment argmin,
+    exact-integer norms/dots, the same dominance loser rule."""
+    return _kmeans_ctes(k, iters, dim) + f""", qe AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), fdist AS (
+  SELECT ev.vec_id, c.cid, SUM((ev.q - c.cq) * (ev.q - c.cq)) AS dist
+  FROM ev JOIN c{iters} c ON ev.d = c.d
+  GROUP BY 1, 2
+), fa AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM fdist
+  ) WHERE rn = 1
+), vnorm AS (
+  SELECT vec_id, SUM(q * q) AS qq FROM ev GROUP BY 1
+), cnorm AS (
+  SELECT cid, SUM(cq * cq) AS cc FROM c{iters} GROUP BY 1
+), vdot AS (
+  SELECT ev.vec_id, SUM(ev.q * c.cq) AS dq
+  FROM ev JOIN fa ON fa.vec_id = ev.vec_id
+          JOIN c{iters} c ON c.cid = fa.cid AND c.d = ev.d
+  GROUP BY 1
+), pv AS (
+  SELECT fa.vec_id, fa.cid, qe.qv,
+         sqrt(vnorm.qq::DOUBLE) AS qn,
+         vdot.dq / (sqrt(vnorm.qq::DOUBLE) * sqrt(cnorm.cc::DOUBLE)) AS csim
+  FROM fa JOIN qe USING (vec_id)
+          JOIN vnorm USING (vec_id)
+          JOIN vdot USING (vec_id)
+          JOIN cnorm ON cnorm.cid = fa.cid
+), pr AS (
+  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+         CASE WHEN a.csim > b.csim
+                OR (a.csim = b.csim AND a.vec_id > b.vec_id)
+              THEN a.vec_id ELSE b.vec_id END AS loser
+  FROM pv a JOIN pv b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.qv, b.qv) / (a.qn * b.qn) >= {tau}
+), mem AS (
+  SELECT cid, COUNT(*) AS n_members FROM fa GROUP BY 1
+), pcnt AS (
+  SELECT cid, COUNT(*) AS n_dup_pairs FROM pr GROUP BY 1
+), dropped AS (
+  SELECT cid, COUNT(DISTINCT loser) AS n_dropped FROM pr GROUP BY 1
+)
+SELECT CAST(mem.cid AS INTEGER) AS cid,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(n_members - COALESCE(n_dropped, 0) AS BIGINT) AS n_kept
+FROM mem LEFT JOIN pcnt USING (cid) LEFT JOIN dropped USING (cid)
+"""
+
+
 def extract_report_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship evaluation report in driver-hashable EXACT-INTEGER
     form: per (extractor, dataset) status counts, floor(1e9 * metric)
@@ -1209,6 +1399,7 @@ _REGISTRY = {
     "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
     "kmeans_embeddings": (kmeans_embeddings, _kmeans_sql()),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ivf_kmeans_sql()),
+    "semantic_dedup_census": (semantic_dedup_census, _semdedup_sql()),
     "corpus_length_percentiles": (corpus_length_percentiles, _PERCENTILES_SQL),
     "corpus_length_histogram": (corpus_length_histogram, _HISTOGRAM_SQL),
     "extract_report_exact": (extract_report_exact, _report_exact_sql()),
