@@ -146,3 +146,66 @@ def test_bloom_build_merge_associativity(spark):
     assert bloom_build(pages, "url", m, k) == bloom_build(
         pages.coalesce(2), "url", m, k
     )
+
+
+def test_bloom_in_plan_md5_variant_matches_collected_build(spark):
+    """The collect-free build (bloom_words_df + one-row map probe, the
+    form registered queries compose) must agree with the driver-collect
+    build on every probe, for the md5 position family; and the md5
+    family keeps the no-false-negative guarantee."""
+    from text_extraction_evaluation_spark.functions.sketch import (
+        _bit_mask,
+        bloom_might_contain,
+        bloom_positions_md5,
+        bloom_words_df,
+    )
+    from text_extraction_evaluation_spark.sources.readers import pages_df
+
+    pages = pages_df(spark, SF0001, n_partitions=8).select("url").distinct()
+    m, k = 4096, 3
+    # driver-collect build, md5 positions via monkey-free param threading
+    words = bloom_words_df(pages, "url", m, k, positions=bloom_positions_md5)
+    rows = {int(r.w): int(r.bits) for r in words.collect()}
+    bitmap = [rows.get(i, 0) for i in range(m // 64)]
+
+    wm = words.groupBy().agg(
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("wm")
+    )
+    probes = pages.unionByName(
+        spark.range(500).select(
+            F.concat(F.lit("http://unseen"), "id", F.lit(".example/x")).alias("url")
+        )
+    )
+    in_plan = F.forall(
+        bloom_positions_md5(F.col("url"), m, k),
+        lambda p: (
+            F.coalesce(
+                F.try_element_at(F.col("wm"), (p / 64).cast("long")),
+                F.lit(0).cast("long"),
+            ).bitwiseAND(_bit_mask(p))
+            != 0
+        ),
+    )
+    got = (
+        probes.join(F.broadcast(wm))
+        .select("url", in_plan.alias("maybe"))
+        .toPandas()
+    )
+    import pandas as pd
+
+    want = probes.select(
+        "url",
+        bloom_might_contain(
+            F.col("url"), bitmap, m, k, positions=bloom_positions_md5
+        ).alias("maybe"),
+    ).toPandas()
+    merged = got.merge(want, on="url", suffixes=("_plan", "_collect"))
+    assert (merged["maybe_plan"] == merged["maybe_collect"]).all()
+    # no false negatives on the seen set
+    seen = pages.count()
+    hits = (
+        pages.join(F.broadcast(wm))
+        .filter(in_plan)
+        .count()
+    )
+    assert hits == seen

@@ -47,6 +47,22 @@ def bloom_positions(c: Column, m: int, k: int) -> Column:
     )
 
 
+def bloom_positions_md5(c: Column, m: int, k: int) -> Column:
+    """Engine-portable position family: the same Kirsch–Mitzenmacher
+    combine over two md5-prefix streams (the registry's cross-engine
+    hash primitive) instead of xxhash64, so a DuckDB oracle can replay
+    the exact bitmap bit-for-bit. Production keeps ``bloom_positions``
+    (xxhash64 is far cheaper than md5); this variant exists for
+    oracle-checked query plans."""
+    from .text import md5_int
+
+    h1 = F.pmod(md5_int(c), F.lit(m))
+    h2 = F.pmod(md5_int(F.concat(c, F.lit("#2"))), F.lit(m))
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+    )
+
+
 # 1<<b for b in 0..63 as signed longs (1<<63 wraps to Long.MIN_VALUE);
 # a literal lookup array because pyspark's shiftleft() wrapper only
 # takes a Python-int shift amount, not a column.
@@ -62,12 +78,14 @@ def _bit_mask(p: Column) -> Column:
     return F.element_at(_POW2, (p % 64).cast("int") + 1)
 
 
-def bloom_build(df: DataFrame, col: str, m: int, k: int) -> list[int]:
+def bloom_build(
+    df: DataFrame, col: str, m: int, k: int, positions=bloom_positions
+) -> list[int]:
     """Build the filter distributed; return the word bitmap (length
     ``m/64``, signed-long words). The only collected rows are the
     non-empty words — bounded by ``m/64``, never by ``len(df)``."""
     words = (
-        df.select(F.explode(bloom_positions(F.col(col), m, k)).alias("p"))
+        df.select(F.explode(positions(F.col(col), m, k)).alias("p"))
         .select(
             (F.col("p") / 64).cast("long").alias("w"),
             _bit_mask(F.col("p")).alias("b"),
@@ -82,14 +100,34 @@ def bloom_build(df: DataFrame, col: str, m: int, k: int) -> list[int]:
     return bitmap
 
 
-def bloom_might_contain(c: Column, bitmap: list[int], m: int, k: int) -> Column:
+def bloom_words_df(
+    df: DataFrame, col: str, m: int, k: int, positions=bloom_positions
+) -> DataFrame:
+    """Collect-free build: the (w, bits) word rows as a DataFrame (at
+    most m/64 rows), for composing the filter INSIDE a single query
+    plan — fold to a one-row broadcast map and probe with
+    ``F.try_element_at`` instead of driver-collecting the bitmap."""
+    return (
+        df.select(F.explode(positions(F.col(col), m, k)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            _bit_mask(F.col("p")).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    c: Column, bitmap: list[int], m: int, k: int, positions=bloom_positions
+) -> Column:
     """Boolean membership column against a built bitmap, fully
     JVM-side: the bitmap ships as a literal array (m/64 longs — a few
     KB even for million-item filters), each of the k probe bits is an
     ``element_at`` + bitwise AND. No false negatives by construction."""
     words = F.array(*[F.lit(w).cast("long") for w in bitmap])
     return F.forall(
-        bloom_positions(c, m, k),
+        positions(c, m, k),
         lambda p: (
             F.element_at(words, (p / 64).cast("int") + 1).bitwiseAND(
                 _bit_mask(p)

@@ -475,11 +475,162 @@ WHERE n_events = (SELECT COUNT(*) FROM events)
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-crawl incremental dedup via a Bloom filter (crawl-frontier /
+# "have we already got this content" fast path)
+# ---------------------------------------------------------------------------
+
+# Frozen sizing for the fixture split (~250 old fingerprints): 4096
+# bits / 3 hashes => expected fpp ~0.5%, so the census sees a small
+# (possibly zero) false-positive count that both engines must agree on
+# bit-for-bit. Production sizes these from bloom_params(n_old, fpp).
+BLOOM_NOVELTY_M = 4096
+BLOOM_NOVELTY_K = 3
+
+
+def crawl_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl novelty census: the previous crawl's content
+    fingerprints fold into a Bloom filter; the new crawl probes it to
+    skip already-held content WITHOUT a join against crawl history.
+    Emits per-lang counts of bloom-positive (maybe-dup), exact-dup
+    (ground truth via semi-join, for accounting), false-positive
+    (bloom-positive but novel — the cost of the sketch), and
+    definitely-new docs. Bloom has no false negatives by construction,
+    so n_true_dup <= n_maybe_dup always; the n_false_pos column
+    hash-checks the bitmap arithmetic bit-for-bit across engines.
+
+    Scale shape: the build is one map-side-combined ``bit_or``
+    aggregate collapsing to <= m/64 word rows, folded into a ONE-ROW
+    broadcast map — never a shuffle proportional to history size. The
+    probe is a JVM-side ``forall`` over k array lookups per row: zero
+    exchange on the 100-TB new-crawl side (the exact semi-join here is
+    the *audit* column; the production fast path drops it and keeps
+    only the probe). Old crawl = the corpus; new crawl = the
+    dedup_exact re-crawl model (doc_id % 10 == 0 refetched
+    byte-identical => true dups the filter MUST flag) plus changed
+    pages (doc_id % 10 == 5 with edited text => novel content the
+    filter should pass, modulo the sketch's fpp).
+
+    Uses the md5 position family (engine-portable) rather than the
+    xxhash64 production family in functions/sketch.py, so the DuckDB
+    twin replays the identical bitmap."""
+    from ..functions.sketch import (
+        _bit_mask,
+        bloom_positions_md5,
+        bloom_words_df,
+    )
+
+    m, k = BLOOM_NOVELTY_M, BLOOM_NOVELTY_K
+    docs = _t(spark, sf_dir, "documents")
+
+    def _fp(c):
+        return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+    old = docs.select(_fp(F.col("text")).alias("fp")).distinct()
+    new = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "lang", _fp(F.col("text")).alias("fp")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 5).select(
+            "doc_id",
+            "lang",
+            _fp(F.concat(F.col("text"), F.lit(" v2"))).alias("fp"),
+        )
+    )
+
+    wm = bloom_words_df(old, "fp", m, k, positions=bloom_positions_md5).agg(
+        F.map_from_arrays(
+            F.collect_list("w"), F.collect_list("bits")
+        ).alias("wm")
+    )
+    maybe = F.forall(
+        bloom_positions_md5(F.col("fp"), m, k),
+        lambda p: (
+            F.coalesce(
+                F.try_element_at(F.col("wm"), (p / 64).cast("long")),
+                F.lit(0).cast("long"),
+            ).bitwiseAND(_bit_mask(p))
+            != 0
+        ),
+    )
+    probed = new.join(F.broadcast(wm)).withColumn("maybe", maybe)
+    exact = probed.join(
+        old.select(F.col("fp").alias("fp_old")),
+        probed["fp"] == F.col("fp_old"),
+        "left",
+    ).withColumn("is_dup", F.col("fp_old").isNotNull())
+    return exact.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.col("maybe").cast("bigint")).alias("n_maybe_dup"),
+        F.sum(F.col("is_dup").cast("bigint")).alias("n_true_dup"),
+        F.sum((F.col("maybe") & ~F.col("is_dup")).cast("bigint")).alias(
+            "n_false_pos"
+        ),
+        F.sum((~F.col("maybe")).cast("bigint")).alias("n_definitely_new"),
+    )
+
+
+def _bloom_novelty_sql(m: int = BLOOM_NOVELTY_M, k: int = BLOOM_NOVELTY_K) -> str:
+    mask = (
+        "CASE WHEN p % 64 = 63 THEN -9223372036854775807 - 1 "
+        "ELSE (1::BIGINT << CAST(p % 64 AS INTEGER)) END"
+    )
+    return f"""
+WITH old AS (
+  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), newc AS (
+  SELECT doc_id, lang,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, lang,
+         md5(lower(regexp_replace(trim(text || ' v2'), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 10 = 5
+), oh AS (
+  SELECT ('0x' || substr(md5(fp), 1, 15))::BIGINT % {m} AS h1,
+         ('0x' || substr(md5(fp || '#2'), 1, 15))::BIGINT % {m} AS h2
+  FROM old
+), pos AS (
+  SELECT (h1 + i * h2) % {m} AS p FROM oh, range(0, {k}) t(i)
+), words AS (
+  SELECT CAST(p // 64 AS BIGINT) AS w, bit_or({mask}) AS bits
+  FROM pos GROUP BY 1
+), nh AS (
+  SELECT doc_id, lang, fp,
+         ('0x' || substr(md5(fp), 1, 15))::BIGINT % {m} AS h1,
+         ('0x' || substr(md5(fp || '#2'), 1, 15))::BIGINT % {m} AS h2
+  FROM newc
+), np AS (
+  SELECT doc_id, lang, fp, (h1 + i * h2) % {m} AS p FROM nh, range(0, {k}) t(i)
+), probe AS (
+  SELECT np.doc_id, np.lang, np.fp,
+         bool_and((COALESCE(words.bits, 0) & {mask}) <> 0) AS maybe
+  FROM np LEFT JOIN words ON words.w = np.p // 64
+  GROUP BY 1, 2, 3
+), flag AS (
+  SELECT probe.doc_id, probe.lang, probe.maybe,
+         old.fp IS NOT NULL AS is_dup
+  FROM probe LEFT JOIN old ON old.fp = probe.fp
+)
+SELECT lang,
+       COUNT(*) AS n_new,
+       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe_dup,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+       CAST(SUM(CASE WHEN maybe AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(SUM(CASE WHEN NOT maybe THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_definitely_new
+FROM flag
+GROUP BY lang
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "pii_redaction": (pii_redaction, _PII_SQL),
     "url_blocklist_filter": (url_blocklist_filter, _blocklist_sql()),
     "crawl_content_diff": (crawl_content_diff, _crawl_diff_sql()),
+    "crawl_bloom_novelty": (crawl_bloom_novelty, _bloom_novelty_sql()),
     "boilerplate_line_census": (boilerplate_line_census, _LINE_CENSUS_SQL),
     "line_dedup_clean": (line_dedup_clean, _LINE_CLEAN_SQL),
 }
