@@ -621,10 +621,119 @@ SELECT stage_ord, stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
 
 
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
+# ---------------------------------------------------------------------------
+# fastText-shaped quality classifier inference (hashed linear model)
+# ---------------------------------------------------------------------------
+
+# Hashed feature space for the linear classifier (unigrams + bigrams
+# -> buckets). Weights are integer-quantized per-mille so the per-doc
+# sum is exact under any aggregation order.
+QC_BUCKETS = 2048
+QC_WEIGHT_SPAN = 1000  # wq in [-1000, 1000] ~ weight in [-1, 1]
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE in the fastText shape used
+    by the GPT-3/LLaMA/CCNet curation pipelines: hash unigram+bigram
+    features into a fixed bucket space, sum the buckets' weights, and
+    squash to a [0,1] quality score (documents below the gate are
+    dropped or downsampled by the mix builder).
+
+    The weight table here is a frozen deterministic stand-in (weight
+    of bucket b = md5-derived integer in [-1000, 1000] per-mille) —
+    the sandbox has no trained model, and the operator's substance is
+    the INFERENCE plan: at 100 TB this is a pure map-only pass — token
+    split, per-feature hash, and the weight fold all happen inside one
+    projection with ZERO shuffle and zero Python; a trained model
+    swaps in as a broadcast weight array without changing the plan.
+
+    Cross-engine determinism: weights are integers, the per-doc sum is
+    an exact BIGINT fold in array order, and the label gate compares
+    the integer sum (never the float score); the sigmoid is computed
+    once from the exact mean and rounded to 6dp."""
+    docs = _docs_par(spark, sf_dir)
+    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    length = F.greatest(F.size(tok) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(tok, 1, length),
+        F.slice(tok, 2, length),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    feats = F.concat(tok, bigrams)
+    wq = F.transform(
+        feats,
+        lambda f: F.pmod(
+            md5_int(
+                F.concat(
+                    F.lit("w#"),
+                    F.pmod(md5_int(f), F.lit(QC_BUCKETS)).cast("string"),
+                )
+            ),
+            F.lit(2 * QC_WEIGHT_SPAN + 1),
+        )
+        - F.lit(QC_WEIGHT_SPAN),
+    )
+    w_sum = F.aggregate(
+        wq, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    out = docs.select(
+        "doc_id",
+        "lang",
+        F.size(feats).alias("n_feats"),
+        w_sum.alias("w_sum_q"),
+    )
+    mean = F.col("w_sum_q") / (F.col("n_feats") * F.lit(float(QC_WEIGHT_SPAN)))
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "w_sum_q",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6).alias("score"),
+        F.when(F.col("w_sum_q") >= 0, F.lit("good"))
+        .otherwise(F.lit("low"))
+        .alias("label"),
+    )
+
+
+_QC_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(lower(text)), '\\s+') AS tok
+  FROM documents
+), f AS (
+  SELECT doc_id, lang, unnest(tok) AS feat FROM t
+  UNION ALL
+  SELECT doc_id, lang, tok[i] || ' ' || tok[i + 1] AS feat
+  FROM (
+    SELECT doc_id, lang, tok,
+           unnest(generate_series(1, greatest(len(tok) - 1, 0))) AS i
+    FROM t
+  )
+), w AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('w#' || CAST(
+              ('0x' || substr(md5(feat), 1, 15))::BIGINT % {QC_BUCKETS}
+          AS VARCHAR)), 1, 15))::BIGINT % {2 * QC_WEIGHT_SPAN + 1}
+           - {QC_WEIGHT_SPAN} AS wq
+  FROM f
+), s AS (
+  SELECT doc_id, lang, COUNT(*) AS n_feats, SUM(wq) AS w_sum_q
+  FROM w GROUP BY 1, 2
+)
+SELECT doc_id, lang, CAST(n_feats AS INTEGER) AS n_feats,
+       CAST(w_sum_q AS BIGINT) AS w_sum_q,
+       ROUND(1.0 / (1.0 + exp(-(w_sum_q / (n_feats * {QC_WEIGHT_SPAN}.0)))), 6)
+         AS score,
+       CASE WHEN w_sum_q >= 0 THEN 'good' ELSE 'low' END AS label
+FROM s
+"""
+
+
 _REGISTRY = {
     "lm_perplexity_score": (lm_perplexity_score, _PPL_SQL),
     "dsir_importance_weights": (dsir_importance_weights, _DSIR_SQL),
     "ppl_bucket_census": (ppl_bucket_census, _PPL_BUCKET_SQL),
+    "quality_classifier_score": (quality_classifier_score, _QC_SQL),
     "sequence_packing": (sequence_packing, _PACK_SQL),
     "curation_funnel": (curation_funnel, _funnel_sql()),
 }
