@@ -124,6 +124,19 @@ def main() -> None:
          "hashes, ONE dup-hash aggregate, equi-join flag-back, per-doc "
          "interval-merge window — no position-pair join, so a window "
          "repeated k times costs O(k) rows"),
+        ("semantic_dedup_census", "SemDeDup: k-means cells bound the "
+         "pair search (per-cell equi-self-join, never O(n^2)); final "
+         "assignment is a broadcast map-side argmin with zero vec_id "
+         "exchange; survivor rule is a dominance expression inside the "
+         "pair join — no connected-components iteration"),
+        ("crawl_bloom_novelty", "Bloom novelty: history collapses "
+         "map-side to <= m/64 word rows then a ONE-ROW broadcast map; "
+         "the new-crawl probe is a JVM forall with zero exchange — the "
+         "exact semi-join exists only as the audit column"),
+        ("quality_classifier_score", "fastText-shaped inference: "
+         "tokenize, hash, weight-fold, and gate all inside one "
+         "scan-project — zero shuffle, zero Python; a trained model "
+         "swaps in as a broadcast array"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
