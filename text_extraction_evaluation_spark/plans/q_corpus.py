@@ -1056,6 +1056,85 @@ FROM documents GROUP BY lang
 """
 
 
+# BPE pair census: report the top-N merge candidates of the FIRST
+# merge iteration. Subsequent BPE iterations run the identical plan
+# over re-segmented words, so this is the inner loop of distributed
+# tokenizer training.
+BPE_TOP_PAIRS = 30
+
+
+def bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, step 1 (Sennrich et al.
+    2016): collapse the corpus to a word-frequency table, then count
+    adjacent character pairs weighted by word frequency — the merge
+    statistics the first BPE iteration maximizes over.
+
+    Scale shape: the corpus-sized work is ONE word hash-aggregate with
+    map-side combine (the word vocabulary is tiny relative to the
+    corpus, so partial aggregation collapses almost everything before
+    the shuffle — the same reason word-count scales). Pair explosion
+    runs over the *vocabulary*, not the corpus; the final ranking
+    window orders a character-bigram table bounded by alphabet^2 rows,
+    so the global window is safe at any corpus size.
+
+    Emits (pair, n_occ, n_forms, rank) for the top
+    ``BPE_TOP_PAIRS`` pairs; ties break on the pair string so the
+    ranking is deterministic across engines."""
+    docs = _docs_par(spark, sf_dir)
+    words = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("word")
+    )
+    wc = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("word") >= 2)
+    )
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        )
+    )
+    pairs = wc.select("word", "n", pair.alias("pair"))
+    agg = pairs.groupBy("pair").agg(
+        F.sum("n").alias("n_occ"),
+        F.count_distinct("word").alias("n_forms"),
+    )
+    w = Window.orderBy(F.desc("n_occ"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("pair", "n_occ", "n_forms", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_BPE_PAIR_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, COUNT(*) AS n FROM w GROUP BY 1 HAVING length(word) >= 2
+), p AS (
+  SELECT word, n, substr(word, i, 2) AS pair
+  FROM (
+    SELECT word, n, unnest(generate_series(1, length(word) - 1)) AS i
+    FROM wc
+  )
+), agg AS (
+  SELECT pair, SUM(n) AS n_occ, COUNT(DISTINCT word) AS n_forms
+  FROM p GROUP BY 1
+)
+SELECT pair, n_occ, n_forms, rank FROM (
+  SELECT pair, CAST(n_occ AS BIGINT) AS n_occ,
+         CAST(n_forms AS BIGINT) AS n_forms,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, pair) AS INTEGER) AS rank
+  FROM agg
+) WHERE rank <= {BPE_TOP_PAIRS}
+"""
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-5 terms per language by corpus-summed tf-idf — the
     keyword/vocabulary profiling step of a training-data mix report.
@@ -1468,6 +1547,7 @@ _REGISTRY = {
     "lang_distribution": (lang_distribution, _LANG_DIST_SQL),
     "doc_containment": (doc_containment, _CONTAINMENT_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
+    "bpe_pair_census": (bpe_pair_census, _BPE_PAIR_SQL),
     "benchmark_decontamination": (benchmark_decontamination, _DECONTAM_SQL),
     "quality_repetition": (quality_repetition, _REPETITION_SQL),
     "corpus_mixture_weights": (corpus_mixture_weights, _MIXTURE_SQL),
