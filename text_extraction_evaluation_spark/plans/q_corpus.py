@@ -1056,6 +1056,123 @@ FROM documents GROUP BY lang
 """
 
 
+# BM25 retrieval constants (Robertson et al.; the standard defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over an inverted index — the lexical
+    search primitive data pipelines use for RAG curation and
+    decontamination lookups. Query terms are picked deterministically
+    from the corpus itself (document-frequency ranks 11-15: high-df
+    but below the stopword head), so the fixture needs no external
+    query set.
+
+    Scale shape: term frequencies and document lengths come out of ONE
+    corpus explode + (doc_id, term) hash aggregate that carries dl
+    through the same shuffle (no separate dl join); the query-term
+    table (5 rows) broadcasts onto the postings, so scoring touches
+    only the candidate postings, never the full index; corpus-level N
+    and sum(dl) ride as a one-row broadcast. The final top-k window
+    partitions by query id over candidate rows only.
+
+    Cross-engine determinism: tf/df/dl/N are exact integers; the one
+    transcendental (idf's ln) is quantized to integer micro-nats
+    before any ranking (same convention as lm_perplexity_score); the
+    remaining arithmetic is identically-ordered double ops from exact
+    integers, so scores are bitwise equal and the (score desc, doc_id)
+    rank cannot flap."""
+    docs = _docs_par(spark, sf_dir)
+    tok = tokens_col("text")
+    exploded = docs.select(
+        "doc_id", F.size(tok).alias("dl"), F.explode(tok).alias("term")
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    stats = tf.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    wq = Window.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        df_.withColumn("r", F.row_number().over(wq))
+        .filter((F.col("r") >= 11) & (F.col("r") <= 15))
+        .select((F.col("r") - 10).cast("int").alias("qid"), "term", "df")
+    )
+    cand = tf.join(F.broadcast(qterms), "term").join(F.broadcast(stats))
+    idf_q6 = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * 1e6
+    ).cast("bigint")
+    dlratio = (F.col("dl") * F.col("n_docs")) / F.col("sum_dl")
+    score = (idf_q6 / F.lit(1e6)) * (
+        F.col("tf") * F.lit(BM25_K1 + 1.0)
+    ) / (
+        F.col("tf")
+        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dlratio)
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        cand.withColumn("s", score)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "qid",
+            "term",
+            "doc_id",
+            "tf",
+            F.round("s", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_BM25_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
+), e AS (
+  SELECT doc_id, len(tok) AS dl, unnest(tok) AS term FROM tokd
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM e GROUP BY 1, 2
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl
+  FROM (SELECT doc_id, MIN(dl) AS dl FROM tf GROUP BY 1)
+), dfx AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), qterms AS (
+  SELECT CAST(r - 10 AS INTEGER) AS qid, term, df FROM (
+    SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r FROM dfx
+  ) WHERE r BETWEEN 11 AND 15
+), cand AS (
+  SELECT q.qid, q.term, q.df, tf.doc_id, tf.tf, tf.dl,
+         s.n_docs, s.sum_dl
+  FROM tf JOIN qterms q USING (term) CROSS JOIN stats s
+), scored AS (
+  SELECT qid, term, doc_id, tf,
+         (CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+               AS BIGINT) / 1e6)
+         * (tf * {BM25_K1 + 1.0})
+         / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+            * ((dl * n_docs) / CAST(sum_dl AS DOUBLE)))) AS s
+  FROM cand
+)
+SELECT qid, term, doc_id, CAST(tf AS BIGINT) AS tf,
+       ROUND(s, 6) AS score, rank
+FROM (
+  SELECT qid, term, doc_id, tf, s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)
+              AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {BM25_TOPK}
+"""
+
+
 # BPE pair census: report the top-N merge candidates of the FIRST
 # merge iteration. Subsequent BPE iterations run the identical plan
 # over re-segmented words, so this is the inner loop of distributed
@@ -1548,6 +1665,7 @@ _REGISTRY = {
     "doc_containment": (doc_containment, _CONTAINMENT_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "bpe_pair_census": (bpe_pair_census, _BPE_PAIR_SQL),
+    "bm25_topk": (bm25_topk, _BM25_SQL),
     "benchmark_decontamination": (benchmark_decontamination, _DECONTAM_SQL),
     "quality_repetition": (quality_repetition, _REPETITION_SQL),
     "corpus_mixture_weights": (corpus_mixture_weights, _MIXTURE_SQL),
