@@ -137,6 +137,13 @@ def main() -> None:
          "tokenize, hash, weight-fold, and gate all inside one "
          "scan-project — zero shuffle, zero Python; a trained model "
          "swaps in as a broadcast array"),
+        ("bpe_pair_census", "distributed BPE merge counting: the only "
+         "corpus-sized pass is the map-side-combined word-frequency "
+         "aggregate; pair explode + ranking run over the vocabulary"),
+        ("bm25_topk", "BM25 retrieval: postings carry dl through one "
+         "(doc_id, term) aggregate, the query-term table rides a "
+         "BroadcastHashJoin, corpus stats a one-row broadcast — "
+         "scoring touches candidates only"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
