@@ -1252,6 +1252,160 @@ SELECT pair, n_occ, n_forms, rank FROM (
 """
 
 
+# Full BPE training loop: how many merge rules to learn. Each
+# iteration is one vocabulary-sized aggregate, so the unrolled DuckDB
+# twin stays readable at this depth while still exercising the
+# iterate-merge-resegment dynamics (the first merged symbol feeds the
+# pair statistics of iteration 2, etc.).
+BPE_MERGE_ITERS = 4
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): run
+    ``BPE_MERGE_ITERS`` full merge iterations — count adjacent symbol
+    pairs weighted by word frequency, adopt the argmax pair as a merge
+    rule, re-segment the vocabulary, repeat — and emit the learned
+    merge table ``(it, left_sym, right_sym, merged, n_occ)``.
+
+    This extends ``bpe_pair_census`` (the single-iteration census)
+    into the actual training loop. Scale shape: the ONLY corpus-sized
+    stage is the initial word-frequency hash-aggregate (map-side
+    combine collapses the corpus to its vocabulary before the
+    shuffle). Every iteration after that runs over the *vocabulary*
+    table: one pair aggregate + a bounded global top-1
+    (TakeOrderedAndProject) + a broadcast ONE-ROW cross-join that
+    applies the merge (it shows as BroadcastNestedLoopJoin in the
+    plan, but with a single-row build side that is the O(n)
+    attach-a-scalar pattern used throughout this registry, not a
+    quadratic join). No driver actions — the whole K-deep loop is a
+    single lazy plan.
+
+    The merge application is a plain string replace over a
+    bracket-delimited segmentation (``<l><o><w>`` + rule ``l+o`` ->
+    ``<lo><w>``): delimiters make the replace boundary-safe and
+    non-overlapping occurrences resolve left-to-right greedily,
+    identically in Spark's ``replace`` and DuckDB's — so the twin is
+    the exact same string algorithm, not a reimplementation.
+    Vocabulary is restricted to ``^[a-z]{2,}$`` words so symbols can
+    never contain the ``<>`` delimiters. All counts are exact BIGINTs;
+    argmax ties break on the pair string."""
+    docs = _docs_par(spark, sf_dir)
+    words = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("word")
+    )
+    wc = (
+        words.filter(F.col("word").rlike("^[a-z]{2,}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seg = wc.select(
+        F.regexp_replace("word", "(.)", "<$1>").alias("seg"), "n"
+    )
+    merges = None
+    for it in range(1, BPE_MERGE_ITERS + 1):
+        syms = F.regexp_extract_all(F.col("seg"), F.lit("<([^>]*)>"), 1)
+        length = F.greatest(F.size(syms) - 1, F.lit(0))
+        pair = F.explode(
+            F.zip_with(
+                F.slice(syms, 1, length),
+                F.slice(syms, 2, length),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        )
+        agg = (
+            seg.select("n", pair.alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("n").alias("n_occ"))
+        )
+        best = (
+            agg.orderBy(F.desc("n_occ"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(it).cast("int").alias("it"),
+                F.split("pair", " ").getItem(0).alias("left_sym"),
+                F.split("pair", " ").getItem(1).alias("right_sym"),
+                "n_occ",
+            )
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        seg = (
+            seg.crossJoin(
+                F.broadcast(best.select("left_sym", "right_sym"))
+            )
+            .withColumn(
+                "seg",
+                F.replace(
+                    F.col("seg"),
+                    F.concat(
+                        F.lit("<"), "left_sym", F.lit("><"),
+                        "right_sym", F.lit(">"),
+                    ),
+                    F.concat(
+                        F.lit("<"), "left_sym", "right_sym", F.lit(">")
+                    ),
+                ),
+            )
+            .select("seg", "n")
+        )
+    return merges.select(
+        "it",
+        "left_sym",
+        "right_sym",
+        F.concat("left_sym", "right_sym").alias("merged"),
+        "n_occ",
+    )
+
+
+def _bpe_train_sql() -> str:
+    """Unrolled DuckDB twin: the identical segment-string algorithm,
+    one (pairs, best, reseg) CTE triple per merge iteration."""
+    parts = [
+        """WITH w AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, COUNT(*) AS n FROM w
+  WHERE regexp_matches(word, '^[a-z]{2,}$') GROUP BY 1
+), s0 AS (
+  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seg, n FROM wc
+)"""
+    ]
+    for it in range(1, BPE_MERGE_ITERS + 1):
+        prev = f"s{it - 1}"
+        parts.append(
+            f""", p{it} AS (
+  SELECT p[1] || ' ' || p[2] AS pair, n FROM (
+    SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p, n
+    FROM (SELECT regexp_extract_all(seg, '<([^>]*)>', 1) AS syms, n
+          FROM {prev})
+  )
+), b{it} AS (
+  SELECT {it} AS it, split_part(pair, ' ', 1) AS left_sym,
+         split_part(pair, ' ', 2) AS right_sym, n_occ
+  FROM (
+    SELECT pair, SUM(n) AS n_occ FROM p{it} GROUP BY 1
+    ORDER BY n_occ DESC, pair LIMIT 1
+  )
+), s{it} AS (
+  SELECT replace(seg, '<' || b.left_sym || '><' || b.right_sym || '>',
+                 '<' || b.left_sym || b.right_sym || '>') AS seg, n
+  FROM {prev}, b{it} b
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{i}" for i in range(1, BPE_MERGE_ITERS + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(it AS INTEGER) AS it, left_sym, right_sym,
+       left_sym || right_sym AS merged, CAST(n_occ AS BIGINT) AS n_occ
+FROM ({union})"""
+    )
+    return "".join(parts)
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-5 terms per language by corpus-summed tf-idf — the
     keyword/vocabulary profiling step of a training-data mix report.
@@ -1665,6 +1819,7 @@ _REGISTRY = {
     "doc_containment": (doc_containment, _CONTAINMENT_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "bpe_pair_census": (bpe_pair_census, _BPE_PAIR_SQL),
+    "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
     "bm25_topk": (bm25_topk, _BM25_SQL),
     "benchmark_decontamination": (benchmark_decontamination, _DECONTAM_SQL),
     "quality_repetition": (quality_repetition, _REPETITION_SQL),
