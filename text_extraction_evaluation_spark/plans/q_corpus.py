@@ -1252,6 +1252,126 @@ SELECT pair, n_occ, n_forms, rank FROM (
 """
 
 
+# Count-min sketch (Cormode & Muthukrishnan 2005) dimensions: depth
+# (independent hash rows) x width (buckets per row). 4x512 keeps the
+# counter table at 2048 rows — broadcastable — while still showing
+# real collision overestimates on the fixture vocabulary.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPK = 20
+
+
+def _cms_bucket(c: Column, i: int) -> Column:
+    """Row-``i`` bucket for a term: md5 position family (engine-
+    portable, same convention as the Bloom ``bloom_positions_md5``)."""
+    return F.pmod(
+        md5_int(F.concat(c, F.lit(f"#cms{i}"))), F.lit(CMS_WIDTH)
+    )
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter census through a count-min sketch: build the
+    DEPTH x WIDTH counter table distributed, then report the sketch
+    estimate next to the exact count for the top-``CMS_TOPK`` terms —
+    the overestimate column is the sketch's collision error, which the
+    CM guarantee bounds by eps*N with probability 1-delta.
+
+    Scale shape: the corpus-sized stage is the term hash-aggregate
+    (map-side combine -> vocabulary). Counter build then explodes the
+    VOCABULARY by depth (4 rows/term) into a bounded groupBy — the
+    counter table is at most DEPTH*WIDTH rows regardless of corpus
+    size, exactly the property that makes CMS the streaming/merge-
+    friendly frequency sketch (counters merge by +, the same
+    associative combine a 1000-executor partial agg performs). Probes
+    equi-join the 20 query terms against the broadcast counter table
+    and take min over depth. The top-k window is a global sort over
+    the vocabulary table, not the corpus."""
+    docs = _docs_par(spark, sf_dir)
+    words = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("term")
+    )
+    tf = (
+        words.filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    depth_structs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("i"),
+                    _cms_bucket(F.col("term"), i).alias("b"),
+                )
+                for i in range(CMS_DEPTH)
+            ]
+        )
+    ).alias("ib")
+    counters = (
+        tf.select("n", depth_structs)
+        .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    top = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CMS_TOPK)
+    )
+    probes = top.select("term", "n", "rank", depth_structs).select(
+        "term", "n", "rank", F.col("ib.i").alias("i"), F.col("ib.b").alias("b")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["i", "b"])
+        .groupBy("term", "n", "rank")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "term",
+            F.col("n").alias("true_n"),
+            "cms_est",
+            (F.col("cms_est") - F.col("n")).alias("overestimate"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_CMS_IDS = ", ".join(str(i) for i in range(CMS_DEPTH))
+
+_CMS_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, COUNT(*) AS n FROM w WHERE term <> '' GROUP BY 1
+), ids AS (
+  SELECT unnest([{_CMS_IDS}]) AS i
+), cells AS (
+  SELECT n, i,
+         ('0x' || substr(md5(term || '#cms' || i), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS b
+  FROM tf CROSS JOIN ids
+), counters AS (
+  SELECT i, b, SUM(n) AS cnt FROM cells GROUP BY 1, 2
+), top AS (
+  SELECT term, n, rank FROM (
+    SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+    FROM tf
+  ) WHERE rank <= {CMS_TOPK}
+), probes AS (
+  SELECT term, n, rank, i,
+         ('0x' || substr(md5(term || '#cms' || i), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS b
+  FROM top CROSS JOIN ids
+)
+SELECT term, CAST(n AS BIGINT) AS true_n, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - n AS BIGINT) AS overestimate, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT term, n, rank, MIN(cnt) AS cms_est
+  FROM probes JOIN counters USING (i, b) GROUP BY 1, 2, 3
+)
+"""
+
+
 # Full BPE training loop: how many merge rules to learn. Each
 # iteration is one vocabulary-sized aggregate, so the unrolled DuckDB
 # twin stays readable at this depth while still exercising the
@@ -1820,6 +1940,7 @@ _REGISTRY = {
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "bpe_pair_census": (bpe_pair_census, _BPE_PAIR_SQL),
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
+    "heavy_hitters_cms": (heavy_hitters_cms, _CMS_SQL),
     "bm25_topk": (bm25_topk, _BM25_SQL),
     "benchmark_decontamination": (benchmark_decontamination, _DECONTAM_SQL),
     "quality_repetition": (quality_repetition, _REPETITION_SQL),

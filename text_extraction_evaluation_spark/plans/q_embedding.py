@@ -838,6 +838,78 @@ GROUP BY lang
 """
 
 
+WSAMPLE_K = 50
+
+
+def doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES, 2006), proportional to document length: each doc gets
+    priority ``-ln(u)/w`` from a deterministic md5-derived uniform
+    ``u`` and weight ``w = n_chars``; the global k smallest priorities
+    ARE a weighted sample without replacement. The mix-building
+    primitive for "sample 1% of the crawl, long docs proportionally
+    more often" that stays reproducible across runs and engines.
+
+    Scale shape: priorities are computed map-side (no shuffle, no
+    RNG state); selection is ``orderBy().limit(k)`` which Spark
+    executes as TakeOrderedAndProject — per-partition top-k then a
+    driver merge of k rows per partition, never a global sort. The
+    rank window runs over the k selected rows only.
+
+    Cross-engine determinism: u = (md5_48bit + 1) / 2^48 is an exact
+    dyadic rational (< 2^53, exact in double); ln is quantized to
+    integer nano-nats before the division by the weight, so the
+    priority doubles are bit-identical in both engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + 1).cast("double") / F.lit(float(1 << 48))
+    lnq = F.round(F.log(u) * 1e9).cast("bigint")
+    w_chars = F.greatest("n_chars", F.lit(1)).cast("bigint")
+    pri = (-lnq).cast("double") / w_chars.cast("double")
+    top = (
+        docs.withColumn("w_chars", w_chars)
+        .withColumn("priority", pri)
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+    rw = Window.orderBy(F.asc("priority"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "lang",
+        "w_chars",
+        F.round("priority", 6).alias("priority"),
+        F.row_number().over(rw).cast("int").alias("rank"),
+    )
+
+
+_WSAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, GREATEST(n_chars, 1) AS w_chars,
+         ('0x' || substr(md5('wsample:' || doc_id), 1, 12))::BIGINT AS hv
+  FROM documents
+), k AS (
+  SELECT doc_id, lang, w_chars,
+         CAST(ROUND(ln((hv + 1) / {float(1 << 48)}) * 1e9) AS BIGINT) AS lnq
+  FROM h
+), p AS (
+  SELECT doc_id, lang, CAST(w_chars AS BIGINT) AS w_chars,
+         CAST(-lnq AS DOUBLE) / CAST(w_chars AS DOUBLE) AS priority
+  FROM k
+)
+SELECT doc_id, lang, w_chars, ROUND(priority, 6) AS priority,
+       CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS INTEGER) AS rank
+FROM (SELECT * FROM p ORDER BY priority, doc_id LIMIT {WSAMPLE_K})
+"""
+
+
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style heuristic quality gate over the corpus, pure JVM
     higher-order functions: minimum token count, bounded mean word
@@ -928,5 +1000,6 @@ _REGISTRY = {
     "pdf_pages": (pdf_pages_query, _PDF_PAGES_SQL),
     "ann_lsh_topk": (ann_lsh_topk_query, _ann_lsh_sql()),
     "doc_sample_stratified": (doc_sample_stratified, _sample_sql()),
+    "doc_sample_weighted": (doc_sample_weighted, _WSAMPLE_SQL),
     "quality_filter": (quality_filter, _QUALITY_FILTER_SQL),
 }
