@@ -144,6 +144,18 @@ def main() -> None:
          "(doc_id, term) aggregate, the query-term table rides a "
          "BroadcastHashJoin, corpus stats a one-row broadcast — "
          "scoring touches candidates only"),
+        ("bpe_train_merges", "full BPE training loop: one corpus-sized "
+         "word aggregate, then K vocabulary-sized iterations — pair "
+         "aggregate, bounded top-1 (TakeOrderedAndProject), ONE-ROW "
+         "broadcast merge application — all in a single lazy plan "
+         "with no driver actions"),
+        ("heavy_hitters_cms", "count-min sketch: counter table bounded "
+         "at depth*width rows regardless of corpus size (mergeable by "
+         "+, the partial-agg combine); probes equi-join the broadcast "
+         "counters and min over depth"),
+        ("doc_sample_weighted", "A-ES weighted sampling: map-side "
+         "deterministic priorities, selection via TakeOrderedAndProject "
+         "(per-partition top-k, no global sort)"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
