@@ -84,6 +84,39 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return pruned.mapInPandas(kernel, LANG_ID_SCHEMA)
 
 
+NFC_STATS_SCHEMA = "bucket int, changed long, delta long"
+
+
+def nfc_normalize_stats(docs: DataFrame, text_col: str = "t") -> DataFrame:
+    """Arrow kernel: per-document Unicode NFC normalization effect —
+    did canonical composition change the string, and by how many code
+    points. Spark has no built-in Unicode normalizer, so this is the
+    canonical "text normalization pass" shape: a pruned mapInPandas
+    batch over (bucket, text) that emits fixed-width stats, never
+    re-emitting the text itself (the normalized bytes stay inside the
+    Arrow batch; a production scrub would write them to the sink
+    column instead). Python's ``unicodedata.normalize`` and DuckDB's
+    ``nfc_normalize`` both implement Unicode canonical composition,
+    which is what makes the census oracle-checkable."""
+    pruned = docs.select("bucket", F.col(text_col).alias("t"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+
+        for pdf in batches:
+            norm = pdf["t"].map(lambda s: unicodedata.normalize("NFC", s or ""))
+            src = pdf["t"].fillna("")
+            yield pd.DataFrame(
+                {
+                    "bucket": pdf["bucket"].astype("int32"),
+                    "changed": (norm != src).astype("int64"),
+                    "delta": (norm.str.len() - src.str.len()).astype("int64"),
+                }
+            )
+
+    return pruned.mapInPandas(kernel, NFC_STATS_SCHEMA)
+
+
 def rolling_fingerprints(
     docs: DataFrame,
     window: int = 5,

@@ -625,9 +625,74 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization census (text hygiene before tokenization)
+# ---------------------------------------------------------------------------
+
+# The fixture corpus is ASCII, where NFC is the identity — so the query
+# plants a deterministic per-bucket suffix that exercises the three
+# interesting cases: a combining sequence that composes (e + U+0301 ->
+# U+00E9, one code point shorter), a singleton that REPLACES under NFC
+# at the same length (U+212B ANGSTROM SIGN -> U+00C5), and an
+# already-composed char (U+00E9, unchanged). Bucket 3 stays pure ASCII.
+_NFC_SUFFIXES: tuple[str, ...] = ("e\u0301", "\u212b", "\u00e9", "")
+
+
+def unicode_nfc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization pass over the corpus: per planted
+    bucket, how many documents change under canonical composition and
+    the total code-point delta — the hygiene audit a pipeline runs
+    before tokenization (mixed NFC/NFD crawls make identical words
+    hash differently, silently breaking dedup and vocabulary counts).
+
+    Scale shape: one pruned mapInPandas Arrow kernel
+    (``operators.textstats.nfc_normalize_stats``) emitting fixed-width
+    stats — normalized text never re-crosses the Arrow boundary — then
+    a 4-row map-side-combined aggregate. No shuffle of document text,
+    no join."""
+    from ..operators.textstats import nfc_normalize_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = F.pmod(F.col("doc_id"), F.lit(4)).cast("int")
+    suffix = (
+        F.when(bucket == 0, F.lit(_NFC_SUFFIXES[0]))
+        .when(bucket == 1, F.lit(_NFC_SUFFIXES[1]))
+        .when(bucket == 2, F.lit(_NFC_SUFFIXES[2]))
+        .otherwise(F.lit(""))
+    )
+    aug = docs.select(
+        bucket.alias("bucket"), F.concat("text", suffix).alias("t")
+    )
+    stats = nfc_normalize_stats(aug)
+    return stats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("changed").alias("n_changed"),
+        F.sum("delta").alias("chars_delta"),
+    )
+
+
+_NFC_SQL = """
+WITH aug AS (
+  SELECT CAST(doc_id % 4 AS INTEGER) AS bucket,
+         text || (CASE doc_id % 4
+                  WHEN 0 THEN 'e' || chr(769)
+                  WHEN 1 THEN chr(8491)
+                  WHEN 2 THEN chr(233)
+                  ELSE '' END) AS t
+  FROM documents
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(length(nfc_normalize(t)) - length(t)) AS BIGINT) AS chars_delta
+FROM aug GROUP BY 1
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "pii_redaction": (pii_redaction, _PII_SQL),
+    "unicode_nfc_census": (unicode_nfc_census, _NFC_SQL),
     "url_blocklist_filter": (url_blocklist_filter, _blocklist_sql()),
     "crawl_content_diff": (crawl_content_diff, _crawl_diff_sql()),
     "crawl_bloom_novelty": (crawl_bloom_novelty, _bloom_novelty_sql()),
