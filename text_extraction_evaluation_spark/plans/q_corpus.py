@@ -1409,6 +1409,23 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vocabulary is restricted to ``^[a-z]{2,}$`` words so symbols can
     never contain the ``<>`` delimiters. All counts are exact BIGINTs;
     argmax ties break on the pair string."""
+    merges, _seg = _bpe_learn(spark, sf_dir)
+    return merges.select(
+        "it",
+        "left_sym",
+        "right_sym",
+        F.concat("left_sym", "right_sym").alias("merged"),
+        "n_occ",
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE training loop: returns (merge table, final
+    vocabulary segmentation carrying the original ``word`` column) so
+    the encode census can join documents back onto the learned
+    segmentation without re-deriving it."""
     docs = _docs_par(spark, sf_dir)
     words = docs.select(
         F.explode(
@@ -1421,7 +1438,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     seg = wc.select(
-        F.regexp_replace("word", "(.)", "<$1>").alias("seg"), "n"
+        "word", F.regexp_replace("word", "(.)", "<$1>").alias("seg"), "n"
     )
     merges = None
     for it in range(1, BPE_MERGE_ITERS + 1):
@@ -1467,20 +1484,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 ),
             )
-            .select("seg", "n")
+            .select("word", "seg", "n")
         )
-    return merges.select(
-        "it",
-        "left_sym",
-        "right_sym",
-        F.concat("left_sym", "right_sym").alias("merged"),
-        "n_occ",
-    )
+    return merges, seg
 
 
-def _bpe_train_sql() -> str:
-    """Unrolled DuckDB twin: the identical segment-string algorithm,
-    one (pairs, best, reseg) CTE triple per merge iteration."""
+def _bpe_chain_sql() -> str:
+    """Shared unrolled DuckDB WITH-prefix of the BPE training loop:
+    the identical segment-string algorithm, one (pairs, best, reseg)
+    CTE triple per merge iteration, carrying ``word`` through so the
+    encode census can join back onto the final segmentation."""
     parts = [
         """WITH w AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
@@ -1489,7 +1502,7 @@ def _bpe_train_sql() -> str:
   SELECT word, COUNT(*) AS n FROM w
   WHERE regexp_matches(word, '^[a-z]{2,}$') GROUP BY 1
 ), s0 AS (
-  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seg, n FROM wc
+  SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS seg, n FROM wc
 )"""
     ]
     for it in range(1, BPE_MERGE_ITERS + 1):
@@ -1509,21 +1522,103 @@ def _bpe_train_sql() -> str:
     ORDER BY n_occ DESC, pair LIMIT 1
   )
 ), s{it} AS (
-  SELECT replace(seg, '<' || b.left_sym || '><' || b.right_sym || '>',
+  SELECT word, replace(seg, '<' || b.left_sym || '><' || b.right_sym || '>',
                  '<' || b.left_sym || b.right_sym || '>') AS seg, n
   FROM {prev}, b{it} b
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_sql() -> str:
     union = " UNION ALL ".join(
         f"SELECT * FROM b{i}" for i in range(1, BPE_MERGE_ITERS + 1)
     )
-    parts.append(
-        f"""
+    return (
+        _bpe_chain_sql()
+        + f"""
 SELECT CAST(it AS INTEGER) AS it, left_sym, right_sym,
        left_sym || right_sym AS merged, CAST(n_occ AS BIGINT) AS n_occ
 FROM ({union})"""
     )
-    return "".join(parts)
+
+
+def bpe_encode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus with the merge table
+    ``bpe_train_merges`` learns and report the per-language token
+    budget — words, characters, BPE tokens, and the chars-per-token
+    compression ratio (the number that decides how many documents fit
+    a training run's token budget).
+
+    Scale shape: encoding does NOT re-run the merges over the corpus —
+    the final vocabulary segmentation (already materialized by the
+    training loop, vocabulary-sized) broadcasts onto the corpus's
+    (lang, word) aggregate, so the corpus-sized work is one word
+    hash-aggregate plus a BroadcastHashJoin; tokens-per-word is a
+    delimiter count on the segmentation string. This is exactly how a
+    100 TB encode pass runs: tiny trained tokenizer shipped to every
+    executor, applied map-side."""
+    _merges, seg = _bpe_learn(spark, sf_dir)
+    vocab = seg.select(
+        "word",
+        (
+            F.length("seg")
+            - F.length(F.replace(F.col("seg"), F.lit("<"), F.lit("")))
+        ).cast("bigint").alias("n_tok"),
+    )
+    docs = _docs_par(spark, sf_dir)
+    wl = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.col("word").rlike("^[a-z]{2,}$"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = (
+        wl.join(F.broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.length("word")).alias("n_chars"),
+            F.sum(F.col("n") * F.col("n_tok")).alias("n_bpe_tokens"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    last = f"s{BPE_MERGE_ITERS}"
+    return (
+        _bpe_chain_sql()
+        + f""", vocab AS (
+  SELECT word, length(seg) - length(replace(seg, '<', '')) AS n_tok
+  FROM {last}
+), wl AS (
+  SELECT lang, word, COUNT(*) AS n FROM (
+    SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z]{{2,}}$') GROUP BY 1, 2
+)
+SELECT lang, CAST(SUM(n) AS BIGINT) AS n_words,
+       CAST(SUM(n * length(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(n * n_tok) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(n * length(word)) AS DOUBLE) / SUM(n * n_tok), 6)
+         AS chars_per_token
+FROM wl JOIN vocab USING (word)
+GROUP BY lang"""
+    )
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1941,6 +2036,7 @@ _REGISTRY = {
     "bpe_pair_census": (bpe_pair_census, _BPE_PAIR_SQL),
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
     "heavy_hitters_cms": (heavy_hitters_cms, _CMS_SQL),
+    "bpe_encode_census": (bpe_encode_census, _bpe_encode_sql()),
     "bm25_topk": (bm25_topk, _BM25_SQL),
     "benchmark_decontamination": (benchmark_decontamination, _DECONTAM_SQL),
     "quality_repetition": (quality_repetition, _REPETITION_SQL),
