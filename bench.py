@@ -212,6 +212,14 @@ def main() -> None:
         "sequence_packing",
         "line_dedup_clean",
         "curation_funnel",
+        "semantic_dedup_census",
+        "crawl_bloom_novelty",
+        "quality_classifier_score",
+        "bm25_topk",
+        "bpe_train_merges",
+        "bpe_encode_census",
+        "heavy_hitters_cms",
+        "unicode_nfc_census",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time
