@@ -156,6 +156,14 @@ def main() -> None:
         ("doc_sample_weighted", "A-ES weighted sampling: map-side "
          "deterministic priorities, selection via TakeOrderedAndProject "
          "(per-partition top-k, no global sort)"),
+        ("bpe_encode_census", "tokenizer application: trained "
+         "segmentation broadcasts onto the (lang, word) corpus "
+         "aggregate — the tiny-tokenizer-to-every-executor shape; "
+         "tokens-per-word is a JVM delimiter count"),
+        ("unicode_nfc_census", "NFC hygiene pass: pruned Project into "
+         "a mapInPandas kernel emitting fixed-width stats, then a "
+         "4-row map-side-combined aggregate — document text never "
+         "shuffles"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
