@@ -1388,6 +1388,144 @@ GROUP BY host
 """
 
 
+# ---------------------------------------------------------------------------
+# PCA top component via power iteration (integer-exact, like k-means)
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+_EMB_DIM = 64
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: the corpus embedding matrix's top principal
+    component by POWER ITERATION — mean-center, then repeat
+    ``v <- normalize(Xᵀ X v)`` — done entirely as composed DataFrame
+    ops with ZERO driver actions, the same iterative-algorithm shape
+    as ``kmeans_embeddings``. Emits the unit component in micro-units
+    per dimension plus the final Rayleigh norm (``sigma_q``, the
+    un-normalized ``‖Xᵀ X v‖`` — the convergence/variance signal).
+
+    Scale shape per iteration: the current vector rides as a ONE-ROW
+    broadcast; projections ``s_i = x_i·v`` are a map-side fold (no
+    shuffle); the update ``w = Σ s_i·x_i`` is one (dim) hash aggregate
+    of 64-key partial sums — at 10^9 vectors each iteration moves only
+    #dims rows per partition. The mean vector is the same one-row
+    broadcast shape. Never materializes the d×d covariance.
+
+    Determinism across engines: embeddings quantize to integers
+    (floor(x·1e6)); every sum is exact integer arithmetic; the two
+    rescales are truncating integer division (Spark ``div`` == DuckDB
+    ``//``); the only floats are sqrt (IEEE-exact-rounded) and one
+    final division, quantized back to integers — so both engines walk
+    the identical integer trajectory. Magnitude budget (documented,
+    not enforced): per-dim update sums stay < 2^63 up to ~10^7 rows at
+    these scales; a 100 TB run raises the two downscale constants."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = F.transform("v", lambda x: F.floor(x * 1e6).cast("bigint"))
+    base = emb.select(qv.alias("qv"))
+    means = (
+        base.select(F.posexplode("qv").alias("d", "q"))
+        .groupBy("d")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("d", F.expr("s div n").alias("m"))
+    )
+    marr = means.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda p: p["m"]
+        ).alias("ml")
+    )
+    centered = base.crossJoin(F.broadcast(marr)).select(
+        F.zip_with("qv", "ml", lambda a, b: a - b).alias("cq")
+    )
+    v_row = spark.range(1).select(
+        F.array(*[F.lit(125000).cast("bigint")] * _EMB_DIM).alias("vq")
+    )
+    for _ in range(PCA_ITERS):
+        s_raw = F.aggregate(
+            F.zip_with("cq", "vq", lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            centered.crossJoin(F.broadcast(v_row.select("vq")))
+            .withColumn("s_raw", s_raw)
+            .withColumn("s2", F.expr("s_raw div 1000000"))
+        )
+        w = (
+            scored.select("s2", F.posexplode("cq").alias("d", "c"))
+            .groupBy("d")
+            .agg(F.sum(F.col("s2") * F.col("c")).alias("w"))
+            .select("d", F.expr("w div 1000000").alias("wp"))
+        )
+        warr = w.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "wp"))),
+                lambda p: p["wp"],
+            ).alias("wl")
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform("wl", lambda x: x * x),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).cast("double")
+        )
+        v_row = warr.select(
+            F.transform(
+                "wl",
+                lambda x: F.round(x.cast("double") * 1e6 / norm).cast("bigint"),
+            ).alias("vq"),
+            F.round(norm).cast("bigint").alias("sigma_q"),
+        )
+    return v_row.select(
+        "sigma_q", F.posexplode("vq").alias("dim_idx", "v_e6")
+    ).select(F.col("dim_idx").cast("int").alias("dim_idx"), "v_e6", "sigma_q")
+
+
+def _pca_sql(iters: int = PCA_ITERS, dim: int = _EMB_DIM) -> str:
+    """Unrolled power-iteration twin: one (projection, update,
+    rescale+normalize) CTE block per iteration, identical integer
+    trajectory (SUMs cast from HUGEINT back to BIGINT before the
+    truncating ``//``)."""
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), ev AS (
+  SELECT vec_id, d, qv[d] AS q FROM e, range(1, {dim + 1}) t(d)
+), mean AS (
+  SELECT d, CAST(SUM(q) // COUNT(*) AS BIGINT) AS m FROM ev GROUP BY d
+), cv AS (
+  SELECT ev.vec_id, ev.d, ev.q - mean.m AS c FROM ev JOIN mean USING (d)
+), v0 AS (
+  SELECT d, CAST(125000 AS BIGINT) AS v FROM range(1, {dim + 1}) t(d)
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""", s{i} AS (
+  SELECT cv.vec_id, CAST(SUM(cv.c * v.v) AS BIGINT) // 1000000 AS s2
+  FROM cv JOIN v{i - 1} v USING (d) GROUP BY cv.vec_id
+), wp{i} AS (
+  SELECT cv.d, CAST(SUM(s.s2 * cv.c) AS BIGINT) // 1000000 AS wp
+  FROM cv JOIN s{i} s USING (vec_id) GROUP BY cv.d
+), nrm{i} AS (
+  SELECT sqrt(CAST(CAST(SUM(wp * wp) AS BIGINT) AS DOUBLE)) AS nrm
+  FROM wp{i}
+), v{i} AS (
+  SELECT d, CAST(ROUND(wp * 1000000.0 / nrm) AS BIGINT) AS v
+  FROM wp{i}, nrm{i}
+)""")
+    return "".join(parts) + f"""
+SELECT CAST(d - 1 AS INTEGER) AS dim_idx, v AS v_e6,
+       (SELECT CAST(ROUND(nrm) AS BIGINT) FROM nrm{iters}) AS sigma_q
+FROM v{iters}
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "extract_text_fingerprint": (extract_text_fingerprint, _TEXT_FP_SQL),
@@ -1398,6 +1536,7 @@ _REGISTRY = {
     "density_text_fingerprint": (density_text_fingerprint, _DENSITY_FP_SQL),
     "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
     "kmeans_embeddings": (kmeans_embeddings, _kmeans_sql()),
+    "pca_power_iteration": (pca_power_iteration, _pca_sql()),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ivf_kmeans_sql()),
     "semantic_dedup_census": (semantic_dedup_census, _semdedup_sql()),
     "corpus_length_percentiles": (corpus_length_percentiles, _PERCENTILES_SQL),
