@@ -358,3 +358,81 @@ def test_windowed_status_counts_equal_batch_aggregate(spark, tmp_path_factory):
     }
     assert got == want
     assert len({(s, e) for s, e, _ in got}) > 1  # multiple real windows
+
+
+def test_stream_heavy_hitters_space_saving_guarantees(spark, tmp_path_factory):
+    """Space-saving sketch over a multi-batch term stream: (a) state
+    stays within groups*capacity counters, (b) est >= true >= est-err
+    for every surviving counter, (c) every guaranteed heavy hitter
+    (true count > N_group/capacity) survives to the final table."""
+    from text_extraction_evaluation_spark.streaming.stream import (
+        heavy_hitters_stream,
+    )
+
+    base = tmp_path_factory.mktemp("hhstream")
+    terms_dir = str(base / "terms")
+    ckpt = str(base / "ckpt")
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    # several files so availableNow runs multiple micro-batches
+    terms.repartition(6).write.parquet(terms_dir)
+
+    capacity, groups = 16, 8
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(terms_dir)
+    )
+    q = (
+        heavy_hitters_stream(stream, capacity=capacity, groups=groups)
+        .writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.sql("SELECT * FROM hh_stream").collect()
+    assert rows
+    n_batches = max(r["seq"] for r in rows)
+    assert n_batches >= 2  # the state actually folded across batches
+
+    # final table per group = its max-seq emission
+    last_seq = {}
+    for r in rows:
+        last_seq[r["grp"]] = max(last_seq.get(r["grp"], 0), r["seq"])
+    final = [(r["grp"], r["term"], r["est"], r["err"])
+             for r in rows if r["seq"] == last_seq[r["grp"]]]
+    per_group = {}
+    for g, t, est, err in final:
+        per_group.setdefault(g, {})[t] = (est, err)
+    assert all(len(c) <= capacity for c in per_group.values())
+
+    truth = {
+        r["term"]: r["n"]
+        for r in terms.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    grp_of = {
+        r["term"]: r["g"]
+        for r in terms.select(
+            "term", F.pmod(F.xxhash64("term"), F.lit(groups)).cast("int").alias("g")
+        ).distinct().collect()
+    }
+    group_n = {}
+    for t, n in truth.items():
+        group_n[grp_of[t]] = group_n.get(grp_of[t], 0) + n
+
+    for g, counters in per_group.items():
+        for t, (est, err) in counters.items():
+            assert est >= truth[t] >= est - err, (g, t, est, err, truth[t])
+    missed_guaranteed = [
+        t for t, n in truth.items()
+        if n > group_n[grp_of[t]] / capacity
+        and t not in per_group.get(grp_of[t], {})
+    ]
+    assert not missed_guaranteed

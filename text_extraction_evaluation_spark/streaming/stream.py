@@ -208,6 +208,89 @@ def sessionize_events_stream(
     )
 
 
+HH_OUT_SCHEMA = "grp int, seq int, term string, est bigint, err bigint"
+HH_STATE_SCHEMA = (
+    "seq int, terms array<string>, counts array<long>, errs array<long>"
+)
+
+
+def heavy_hitters_stream(
+    terms_stream: DataFrame, capacity: int = 16, groups: int = 8
+) -> DataFrame:
+    """Streaming heavy hitters via the SPACE-SAVING sketch (Metwally,
+    Agrawal & El Abbadi 2005) as a custom stateful operator — the
+    bounded-state frequency tracker for an unbounded term stream,
+    complementing the batch ``heavy_hitters_cms`` query.
+
+    The term space partitions DISJOINTLY by hash into ``groups``
+    state keys, so each group's sketch tracks only its own terms and
+    the union of group candidates is the global candidate set. State
+    per group is at most ``capacity`` counters (term, est, err):
+    a batch's term counts fold in deterministically (sorted order);
+    a new term beyond capacity evicts the minimum counter (ties on
+    term) and inherits its count as overestimation error — giving the
+    classic guarantees ``est >= true >= est - err`` and every term
+    with true count > N_group/capacity is retained. Total state is
+    bounded by groups*capacity rows forever, regardless of stream
+    length.
+
+    Each micro-batch emits the group's full current counter table
+    tagged with a per-group ``seq`` number (progress rows, append
+    mode); the final table per group is its max-seq emission.
+    tests/test_streaming.py replays a finite corpus and checks the
+    retention + error-bound guarantees against exact batch counts."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (grp,) = key
+        seq, counters = 0, {}
+        if state.exists:
+            seq, ts_, cs, es = state.get
+            counters = {t: [c, e] for t, c, e in zip(ts_, cs, es)}
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            for t in pdf["term"]:
+                batch[t] = batch.get(t, 0) + 1
+        for term in sorted(batch):
+            cnt = batch[term]
+            if term in counters:
+                counters[term][0] += cnt
+            elif len(counters) < capacity:
+                counters[term] = [cnt, 0]
+            else:
+                mt = min(counters, key=lambda t: (counters[t][0], t))
+                mc = counters[mt][0]
+                del counters[mt]
+                counters[term] = [mc + cnt, mc]
+        seq += 1
+        items = sorted(counters.items())
+        state.update(
+            (
+                seq,
+                [t for t, _ in items],
+                [c for _, (c, _e) in items],
+                [e for _, (_c, e) in items],
+            )
+        )
+        yield pd.DataFrame(
+            [(grp, seq, t, c, e) for t, (c, e) in items],
+            columns=["grp", "seq", "term", "est", "err"],
+        )
+
+    keyed = terms_stream.withColumn(
+        "grp", F.pmod(F.xxhash64("term"), F.lit(groups)).cast("int")
+    )
+    return keyed.groupBy("grp").applyInPandasWithState(
+        fold,
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 __all__ = [
     "EXTRACT_SCHEMA",
     "read_pages_stream",
@@ -216,4 +299,5 @@ __all__ = [
     "dedup_pages_stream",
     "windowed_status_counts",
     "sessionize_events_stream",
+    "heavy_hitters_stream",
 ]
