@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import md5_int, tokens_col
 from .common import _t
 from .q_extraction import _fp48
 
@@ -689,10 +690,87 @@ FROM aug GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Leakage-safe train/valid/test split (site-level, not doc-level)
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VALID_PCT = 5  # test gets the remainder
+
+
+def leakage_safe_split_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test split census with the leakage rule every
+    pretraining/eval pipeline needs: the split key is the SITE
+    (``source``), not the document — hashing doc_ids would scatter one
+    site's near-duplicate pages across train and test and leak
+    templated content into evaluation. Emits per-split site/doc/token
+    counts plus ``n_leaky_sources`` — a data-derived audit that counts
+    sites observed in more than one split (structurally zero here, but
+    the census computes it from the data, catching a future key
+    refactor that silently breaks the invariant).
+
+    Scale shape: the split is a map-side hash of the site key (no
+    membership table, reproducible across runs/engines); the census is
+    one hash aggregate; the audit is a (source) aggregate whose result
+    collapses to a ONE-ROW broadcast attached by cross-join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pct = F.pmod(
+        md5_int(F.concat(F.lit("split:"), F.col("source"))), F.lit(100)
+    )
+    split = (
+        F.when(pct < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(pct < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = docs.withColumn("split", split)
+    per = tagged.groupBy("split").agg(
+        F.count_distinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    leaks = (
+        tagged.groupBy("source")
+        .agg(F.count_distinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaky_sources")
+        )
+    )
+    return per.crossJoin(F.broadcast(leaks))
+
+
+_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT source, text,
+         CASE
+           WHEN ('0x' || substr(md5('split:' || source), 1, 15))::BIGINT % 100
+                < {SPLIT_TRAIN_PCT} THEN 'train'
+           WHEN ('0x' || substr(md5('split:' || source), 1, 15))::BIGINT % 100
+                < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+           ELSE 'test'
+         END AS split
+  FROM documents
+), per AS (
+  SELECT split, COUNT(DISTINCT source) AS n_sources, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM tagged GROUP BY 1
+), leaks AS (
+  SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaky_sources
+  FROM (SELECT source, COUNT(DISTINCT split) AS ns FROM tagged GROUP BY 1)
+)
+SELECT split, n_sources, n_docs, n_tokens, n_leaky_sources
+FROM per CROSS JOIN leaks
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "pii_redaction": (pii_redaction, _PII_SQL),
     "unicode_nfc_census": (unicode_nfc_census, _NFC_SQL),
+    "leakage_safe_split_census": (leakage_safe_split_census, _SPLIT_SQL),
     "url_blocklist_filter": (url_blocklist_filter, _blocklist_sql()),
     "crawl_content_diff": (crawl_content_diff, _crawl_diff_sql()),
     "crawl_bloom_novelty": (crawl_bloom_novelty, _bloom_novelty_sql()),
