@@ -164,6 +164,13 @@ def main() -> None:
          "a mapInPandas kernel emitting fixed-width stats, then a "
          "4-row map-side-combined aggregate — document text never "
          "shuffles"),
+        ("pca_power_iteration", "power-iteration PCA: per iteration a "
+         "one-row broadcast vector, map-side integer projections, one "
+         "64-key (dim) hash aggregate — the covariance matrix never "
+         "materializes, no driver actions"),
+        ("leakage_safe_split_census", "site-hash split: map-side split "
+         "assignment, one census aggregate, leak audit collapses to a "
+         "one-row broadcast"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
