@@ -691,6 +691,87 @@ FROM aug GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Outlink extraction (the link-graph builder over raw html)
+# ---------------------------------------------------------------------------
+
+
+def outlink_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph extraction from RAW HTML: pull every ``href`` out of
+    the page bytes and census the link targets — (path, total links,
+    pages containing it). This is the edge-builder that feeds
+    ``host_pagerank``-style graph analytics and the 'which targets are
+    sitewide boilerplate' signal (a path on nearly every page of the
+    corpus is chrome, not content).
+
+    Scale shape: a pure map-side JVM pass over the html bytes
+    (binary→string cast + ``regexp_extract_all`` + explode, no
+    Python), then one (path) hash aggregate with map-side combine —
+    html never shuffles, only (path, page-identity) link rows do, and
+    the distinct-page count collapses per path. Invalid UTF-8 (the
+    latin-1 variant) is harmless: the cast is permissive and every
+    href sits in an ASCII region.
+
+    Oracle strength: the DuckDB twin does NOT parse html — it counts
+    the EXPECTED links directly from the synth template rules
+    (variant -> per-path multiplicities, second-crawl variant shift),
+    so the check catches a wrong extractor, not a differently-wrong
+    pair."""
+    from ..sources.readers import pages_df
+
+    pages = pages_df(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    hrefs = F.regexp_extract_all(
+        F.col("html").cast("string"), F.lit('href="([^"]*)"'), 1
+    )
+    links = pages.select(
+        "url", "warc_ts", F.explode(hrefs).alias("path")
+    )
+    return links.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct("url", "warc_ts").alias("n_pages"),
+    )
+
+
+def _outlink_sql() -> str:
+    # Per-variant link multiplicities of the synth templates: every
+    # page carries the nav (5 paths) + footer (2); variants add their
+    # own. Mirrors sources/synth.py _html_for.
+    universal = ["/", "/news", "/contact", "/login", "/subscribe",
+                 "/terms", "/privacy"]
+    extras = [
+        (1, "/a", 4),
+        (5, "/x", 12),
+        (8, "/promo", 2), (8, "/trending", 2), (8, "/cookie", 2),
+        (14, "/go", 1),
+        (15, "/promo", 2), (15, "/trending", 2), (15, "/cookie", 2),
+    ]
+    uni_rows = ", ".join(f"('{p}')" for p in universal)
+    ex_rows = ", ".join(f"({v}, '{p}', {m})" for v, p, m in extras)
+    return f"""
+WITH pages AS (
+  SELECT doc_id % 16 AS variant FROM documents
+  UNION ALL
+  SELECT (doc_id % 16 + 2) % 16 FROM documents WHERE doc_id % 20 = 7
+), vc AS (
+  SELECT variant, COUNT(*) AS n FROM pages GROUP BY 1
+), uni AS (
+  SELECT u.path, SUM(vc.n) AS n_links, SUM(vc.n) AS n_pages
+  FROM vc CROSS JOIN (VALUES {uni_rows}) u(path)
+  GROUP BY 1
+), ex AS (
+  SELECT m.path, SUM(vc.n * m.mult) AS n_links, SUM(vc.n) AS n_pages
+  FROM vc JOIN (VALUES {ex_rows}) m(variant, path, mult) USING (variant)
+  GROUP BY 1
+)
+SELECT path, CAST(SUM(n_links) AS BIGINT) AS n_links,
+       CAST(SUM(n_pages) AS BIGINT) AS n_pages
+FROM (SELECT * FROM uni UNION ALL SELECT * FROM ex)
+GROUP BY path
+"""
+
+
+# ---------------------------------------------------------------------------
 # Leakage-safe train/valid/test split (site-level, not doc-level)
 # ---------------------------------------------------------------------------
 
@@ -771,6 +852,7 @@ _REGISTRY = {
     "pii_redaction": (pii_redaction, _PII_SQL),
     "unicode_nfc_census": (unicode_nfc_census, _NFC_SQL),
     "leakage_safe_split_census": (leakage_safe_split_census, _SPLIT_SQL),
+    "outlink_path_census": (outlink_path_census, _outlink_sql()),
     "url_blocklist_filter": (url_blocklist_filter, _blocklist_sql()),
     "crawl_content_diff": (crawl_content_diff, _crawl_diff_sql()),
     "crawl_bloom_novelty": (crawl_bloom_novelty, _bloom_novelty_sql()),
