@@ -772,6 +772,102 @@ GROUP BY path
 
 
 # ---------------------------------------------------------------------------
+# Template detection: DOM-shape census over raw html
+# ---------------------------------------------------------------------------
+
+# The synth templates collapse into these first-appearance tag shapes
+# (frozen from sources/synth.py _html_for; `br` is excluded from the
+# signature because line-break count is content-, not template-,
+# dependent). variant -> shape string.
+_SHAPE_BASE = "html,head,meta,title,script,style,body,div,a"
+_VARIANT_SHAPES: dict[int, str] = {
+    0: _SHAPE_BASE,
+    1: _SHAPE_BASE,
+    9: _SHAPE_BASE,
+    2: _SHAPE_BASE + ",p",
+    3: _SHAPE_BASE + ",p",
+    6: _SHAPE_BASE + ",p",
+    8: _SHAPE_BASE + ",p",
+    10: _SHAPE_BASE + ",p",
+    15: _SHAPE_BASE + ",p",
+    4: _SHAPE_BASE + ",h2,p",
+    5: _SHAPE_BASE + ",h2,p",
+    7: _SHAPE_BASE + ",select,option,p",
+    11: _SHAPE_BASE + ",p,span",
+    12: "html,head,meta,title,body,div,a,p",
+    13: _SHAPE_BASE + ",table,tr,td",
+    14: _SHAPE_BASE + ",form,fieldset,legend,p",
+}
+
+
+def template_shape_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template detection over RAW HTML: fingerprint each page's DOM
+    SHAPE — the first-appearance order of its tag names — and census
+    the shapes (pages, hosts). A shape carried by thousands of pages
+    across many hosts is a CMS/boilerplate template; extraction QA
+    samples one page per shape instead of eyeballing random pages.
+
+    The signature deliberately ignores tag multiplicity and ``br``
+    (content-dependent), so it keys the TEMPLATE, not the article
+    length — that is what makes it stable across a site's pages.
+
+    Scale shape: map-side JVM regex + ``array_distinct`` (order-
+    preserving first occurrence) over the html bytes, then one (shape)
+    hash aggregate — html never shuffles; only (shape, host) rows do.
+
+    Oracle strength: the twin maps synth template variants straight to
+    their frozen expected shape STRINGS (no html parse), so the
+    compare pins the real extractor's byte-exact shapes against
+    intent."""
+    from ..sources.readers import pages_df
+
+    pages = pages_df(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    tags = F.regexp_extract_all(
+        F.col("html").cast("string"), F.lit("<([a-zA-Z][a-zA-Z0-9]*)"), 1
+    )
+    shape = F.array_join(
+        F.array_remove(
+            F.array_distinct(F.transform(tags, F.lower)), "br"
+        ),
+        ",",
+    )
+    host = F.regexp_extract("url", r"^http://([^/]+)/", 1)
+    return (
+        pages.select(shape.alias("shape"), host.alias("host"))
+        .groupBy("shape")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count_distinct("host").alias("n_hosts"),
+        )
+    )
+
+
+def _template_shape_sql() -> str:
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    shape_rows = ", ".join(
+        f"({v}, '{s}')" for v, s in sorted(_VARIANT_SHAPES.items())
+    )
+    host_expr = f"""CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END"""
+    return f"""
+WITH pages AS (
+  SELECT doc_id % 16 AS variant, {host_expr} AS host FROM documents
+  UNION ALL
+  SELECT (doc_id % 16 + 2) % 16, {host_expr} FROM documents
+  WHERE doc_id % 20 = 7
+)
+SELECT m.shape, COUNT(*) AS n_pages,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM pages JOIN (VALUES {shape_rows}) m(variant, shape) USING (variant)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Leakage-safe train/valid/test split (site-level, not doc-level)
 # ---------------------------------------------------------------------------
 
@@ -853,6 +949,7 @@ _REGISTRY = {
     "unicode_nfc_census": (unicode_nfc_census, _NFC_SQL),
     "leakage_safe_split_census": (leakage_safe_split_census, _SPLIT_SQL),
     "outlink_path_census": (outlink_path_census, _outlink_sql()),
+    "template_shape_census": (template_shape_census, _template_shape_sql()),
     "url_blocklist_filter": (url_blocklist_filter, _blocklist_sql()),
     "crawl_content_diff": (crawl_content_diff, _crawl_diff_sql()),
     "crawl_bloom_novelty": (crawl_bloom_novelty, _bloom_novelty_sql()),
