@@ -171,6 +171,12 @@ def main() -> None:
         ("leakage_safe_split_census", "site-hash split: map-side split "
          "assignment, one census aggregate, leak audit collapses to a "
          "one-row broadcast"),
+        ("outlink_path_census", "link-graph builder: map-side href "
+         "regex over html bytes + one (path) aggregate — html never "
+         "shuffles, only (path, page) link rows"),
+        ("template_shape_census", "DOM-shape fingerprint: map-side tag "
+         "scan + order-preserving array_distinct, one (shape) "
+         "aggregate"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
