@@ -1252,6 +1252,83 @@ SELECT pair, n_occ, n_forms, rank FROM (
 """
 
 
+def readability_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profiling per language: sentence/word/syllable
+    counts and the Flesch reading-ease score — the classic
+    text-difficulty gate a curation mix applies next to the C4/Gopher
+    heuristics (e.g. keep a target band, or stratify the mix by it).
+
+    Syllables are approximated as vowel-group runs ``[aeiouy]+`` (the
+    standard cheap estimator; a space or consonant breaks the run, so
+    the text-level count equals the per-word sum). Flesch is computed
+    at the LANGUAGE level from exact BIGINT sums —
+    ``206.835 - 1.015*(W/S) - 84.6*(Y/W)`` — one fixed IEEE expression
+    over exact integers, so it cannot drift with aggregation order or
+    engine.
+
+    Scale shape: all three counters are map-side JVM regex/array
+    expressions folded by one (lang) hash aggregate with map-side
+    combine; no shuffle of text, no window, no join."""
+    docs = _docs_par(spark, sf_dir)
+    sentences = F.size(
+        F.filter(
+            F.split("text", r"[.!?]+"),
+            lambda x: F.length(F.trim(x)) > 0,
+        )
+    ).cast("bigint")
+    words = F.size(tokens_col("text")).cast("bigint")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(sentences).alias("n_sentences"),
+        F.sum(words).alias("n_words"),
+        F.sum(syllables).alias("n_syllables"),
+    )
+    s = F.greatest("n_sentences", F.lit(1)).cast("double")
+    w = F.greatest("n_words", F.lit(1)).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / s)
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / w)
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(flesch, 6).alias("flesch"),
+    )
+
+
+_READABILITY_SQL = """
+WITH c AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                              x -> trim(x) <> '')) AS BIGINT) AS s,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+  FROM documents
+), agg AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(s) AS n_sentences,
+         SUM(w) AS n_words, SUM(y) AS n_syllables
+  FROM c GROUP BY 1
+)
+SELECT lang, n_docs,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / CAST(GREATEST(n_sentences, 1) AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                       / CAST(GREATEST(n_words, 1) AS DOUBLE)), 6) AS flesch
+FROM agg
+"""
+
+
 # Count-min sketch (Cormode & Muthukrishnan 2005) dimensions: depth
 # (independent hash rows) x width (buckets per row). 4x512 keeps the
 # counter table at 2048 rows — broadcastable — while still showing
@@ -2037,6 +2114,7 @@ _REGISTRY = {
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
     "heavy_hitters_cms": (heavy_hitters_cms, _CMS_SQL),
     "bpe_encode_census": (bpe_encode_census, _bpe_encode_sql()),
+    "readability_census": (readability_census, _READABILITY_SQL),
     "bm25_topk": (bm25_topk, _BM25_SQL),
     "benchmark_decontamination": (benchmark_decontamination, _DECONTAM_SQL),
     "quality_repetition": (quality_repetition, _REPETITION_SQL),
