@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_int, tokens_col
+from ..functions.text import md5_int, tokens_col, word_shingles_all
 from .common import _t
 from .q_extraction import _fp48
 
@@ -772,6 +772,83 @@ GROUP BY path
 
 
 # ---------------------------------------------------------------------------
+# Incremental novelty: first-seen shingle rate per crawl hour
+# ---------------------------------------------------------------------------
+
+
+def crawl_novel_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl novelty at N-GRAM granularity: per crawl
+    hour, how many 3-word shingle occurrences the hour contributed and
+    how many DISTINCT shingles were seen for the first time — the
+    marginal-value curve of continued crawling ("are new segments
+    still adding novel text, or re-serving what we hold?"). Finer-
+    grained than ``crawl_bloom_novelty``'s whole-document verdicts:
+    partially-novel pages show up here.
+
+    Scale shape: shingle explode (the same linear pass every dedup
+    tier runs) -> ONE (shingle-hash) aggregate for the global
+    first-seen hour -> an equi-join back on the hash -> one (hour)
+    census aggregate. The first-seen table is vocabulary-sized and the
+    join is hash-partitioned on the shingle key, so nothing is
+    quadratic and no text crosses the wire — only 60-bit hashes."""
+    from ..sources.readers import pages_df
+
+    pages = pages_df(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.trim("text"), r"\s+")
+    hashes = F.transform(word_shingles_all(toks, 3), md5_int)
+    occ = pages.select(
+        F.date_trunc("hour", F.col("warc_ts")).alias("bucket"),
+        F.explode(hashes).alias("h"),
+    )
+    first = occ.groupBy("h").agg(F.min("bucket").alias("b0"))
+    return (
+        occ.join(first, "h")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(
+                F.when(F.col("b0") == F.col("bucket"), F.col("h"))
+            ).alias("n_novel_shingles"),
+        )
+    )
+
+
+def _novel_shingles_sql() -> str:
+    from ..sources.synth import SECOND_CRAWL_MOD, SECOND_CRAWL_REM
+
+    return f"""
+WITH p AS (
+  SELECT text, TIMESTAMP '2024-01-01 00:00:00'
+               + doc_id * INTERVAL 1 SECOND AS ts
+  FROM documents
+  UNION ALL
+  SELECT text, TIMESTAMP '2024-01-01 00:00:00'
+               + (doc_id + 86400) * INTERVAL 1 SECOND
+  FROM documents WHERE doc_id % {SECOND_CRAWL_MOD} = {SECOND_CRAWL_REM}
+), t AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM p
+), occ AS (
+  SELECT bucket,
+         ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                         1, 15))::BIGINT AS h
+  FROM (SELECT bucket, w, unnest(range(1, len(w) - 1)) AS i
+        FROM t WHERE len(w) >= 3)
+), first AS (
+  SELECT h, MIN(bucket) AS b0 FROM occ GROUP BY 1
+)
+SELECT bucket, COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT CASE WHEN b0 = bucket THEN h END) AS BIGINT)
+         AS n_novel_shingles
+FROM occ JOIN first USING (h)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Template detection: DOM-shape census over raw html
 # ---------------------------------------------------------------------------
 
@@ -950,6 +1027,7 @@ _REGISTRY = {
     "leakage_safe_split_census": (leakage_safe_split_census, _SPLIT_SQL),
     "outlink_path_census": (outlink_path_census, _outlink_sql()),
     "template_shape_census": (template_shape_census, _template_shape_sql()),
+    "crawl_novel_shingles": (crawl_novel_shingles, _novel_shingles_sql()),
     "url_blocklist_filter": (url_blocklist_filter, _blocklist_sql()),
     "crawl_content_diff": (crawl_content_diff, _crawl_diff_sql()),
     "crawl_bloom_novelty": (crawl_bloom_novelty, _bloom_novelty_sql()),
