@@ -1420,11 +1420,24 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical integer trajectory. Magnitude budget (documented,
     not enforced): per-dim update sums stay < 2^63 up to ~10^7 rows at
     these scales; a 100 TB run raises the two downscale constants."""
+    _centered, v_row = _pca_learn(spark, sf_dir)
+    return v_row.select(
+        "sigma_q", F.posexplode("vq").alias("dim_idx", "v_e6")
+    ).select(F.col("dim_idx").cast("int").alias("dim_idx"), "v_e6", "sigma_q")
+
+
+def _pca_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared power-iteration core: returns (centered quantized
+    vectors carrying vec_id+label, one-row component DataFrame with
+    ``vq``/``sigma_q``) so projection queries can reuse the learned
+    component without re-deriving it."""
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     qv = F.transform("v", lambda x: F.floor(x * 1e6).cast("bigint"))
-    base = emb.select(qv.alias("qv"))
+    base = emb.select("vec_id", "label", qv.alias("qv"))
     means = (
         base.select(F.posexplode("qv").alias("d", "q"))
         .groupBy("d")
@@ -1437,7 +1450,9 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ml")
     )
     centered = base.crossJoin(F.broadcast(marr)).select(
-        F.zip_with("qv", "ml", lambda a, b: a - b).alias("cq")
+        "vec_id",
+        "label",
+        F.zip_with("qv", "ml", lambda a, b: a - b).alias("cq"),
     )
     v_row = spark.range(1).select(
         F.array(*[F.lit(125000).cast("bigint")] * _EMB_DIM).alias("vq")
@@ -1449,7 +1464,8 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
         scored = (
-            centered.crossJoin(F.broadcast(v_row.select("vq")))
+            centered.select("cq")
+            .crossJoin(F.broadcast(v_row.select("vq")))
             .withColumn("s_raw", s_raw)
             .withColumn("s2", F.expr("s_raw div 1000000"))
         )
@@ -1479,9 +1495,68 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vq"),
             F.round(norm).cast("bigint").alias("sigma_q"),
         )
-    return v_row.select(
-        "sigma_q", F.posexplode("vq").alias("dim_idx", "v_e6")
-    ).select(F.col("dim_idx").cast("int").alias("dim_idx"), "v_e6", "sigma_q")
+    return centered, v_row
+
+
+def pca_project_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA APPLICATION: project every centered embedding onto the
+    learned top component and census the projection per label — the
+    one-number-per-vector reduction used for stratified diagnostics
+    ("does the dominant variance direction separate the labels?") and
+    for cheap 1-D binning/range-partitioning of a vector corpus.
+
+    Scale shape: the component is a ONE-ROW broadcast; projections are
+    a map-side integer fold (zero shuffle); the census is one (label)
+    hash aggregate. Exact BIGINT sums; the derived mean is one fixed
+    double expression."""
+    centered, v_row = _pca_learn(spark, sf_dir)
+    s_raw = F.aggregate(
+        F.zip_with("cq", "vq", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    proj = (
+        centered.crossJoin(F.broadcast(v_row.select("vq")))
+        .withColumn("s_raw", s_raw)
+        .withColumn("s2", F.expr("s_raw div 1000000"))
+    )
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("s2").alias("proj_sum"),
+            F.sum(F.col("s2") * F.col("s2")).alias("proj_sumsq"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "proj_sum",
+            "proj_sumsq",
+            F.round(
+                F.col("proj_sum").cast("double") / F.col("n_vecs"), 6
+            ).alias("mean_proj"),
+        )
+    )
+
+
+def _pca_project_sql(iters: int = PCA_ITERS, dim: int = _EMB_DIM) -> str:
+    chain = _pca_sql(iters, dim)
+    # reuse the iteration chain's WITH-prefix (everything before the
+    # final SELECT) and append the projection census
+    prefix = chain.rsplit("\nSELECT CAST(d - 1 AS INTEGER)", 1)[0]
+    return prefix + f""", lbl AS (
+  SELECT vec_id, label FROM embeddings
+), proj AS (
+  SELECT cv.vec_id, CAST(SUM(cv.c * v.v) AS BIGINT) // 1000000 AS s2
+  FROM cv JOIN v{iters} v USING (d) GROUP BY cv.vec_id
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(s2) AS BIGINT) AS proj_sum,
+       CAST(SUM(s2 * s2) AS BIGINT) AS proj_sumsq,
+       ROUND(CAST(SUM(s2) AS DOUBLE) / COUNT(*), 6) AS mean_proj
+FROM proj JOIN lbl USING (vec_id)
+GROUP BY label
+"""
 
 
 def _pca_sql(iters: int = PCA_ITERS, dim: int = _EMB_DIM) -> str:
@@ -1537,6 +1612,7 @@ _REGISTRY = {
     "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
     "kmeans_embeddings": (kmeans_embeddings, _kmeans_sql()),
     "pca_power_iteration": (pca_power_iteration, _pca_sql()),
+    "pca_project_census": (pca_project_census, _pca_project_sql()),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ivf_kmeans_sql()),
     "semantic_dedup_census": (semantic_dedup_census, _semdedup_sql()),
     "corpus_length_percentiles": (corpus_length_percentiles, _PERCENTILES_SQL),
