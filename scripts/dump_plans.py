@@ -177,6 +177,12 @@ def main() -> None:
         ("template_shape_census", "DOM-shape fingerprint: map-side tag "
          "scan + order-preserving array_distinct, one (shape) "
          "aggregate"),
+        ("crawl_novel_shingles", "n-gram novelty: shingle explode -> "
+         "one (hash) first-seen aggregate -> hash equi-join back -> "
+         "(hour) census; only 60-bit hashes shuffle"),
+        ("readability_census", "Flesch census: three map-side regex "
+         "counters folded by one (lang) aggregate — no shuffle of "
+         "text"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
