@@ -436,3 +436,69 @@ def test_stream_heavy_hitters_space_saving_guarantees(spark, tmp_path_factory):
         and t not in per_group.get(grp_of[t], {})
     ]
     assert not missed_guaranteed
+
+
+def test_stream_heavy_hitters_state_survives_restart(spark, tmp_path_factory):
+    """Space-saving state restores from the checkpoint: a second run
+    over NEW files continues the counters (est for a term present in
+    both phases exceeds either phase's count alone)."""
+    from text_extraction_evaluation_spark.streaming.stream import (
+        heavy_hitters_stream,
+    )
+
+    base = tmp_path_factory.mktemp("hhrestart")
+    terms_dir = str(base / "terms")
+    ckpt = str(base / "ckpt")
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    half = terms.limit(2000).cache()
+    half.coalesce(1).write.mode("append").parquet(terms_dir)
+
+    out_dir = str(base / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("term string")
+            .option("maxFilesPerTrigger", 4)
+            .parquet(terms_dir)
+        )
+        q = (
+            heavy_hitters_stream(stream, capacity=16, groups=4)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.read.parquet(out_dir).collect()
+        last = {}
+        for r in rows:
+            last[r["grp"]] = max(last.get(r["grp"], 0), r["seq"])
+        return {
+            (r["grp"], r["term"]): r["est"]
+            for r in rows
+            if r["seq"] == last[r["grp"]]
+        }
+
+    first = run_once()
+    # phase 2: the same rows again as new files -> counts must double
+    # for terms that survive both phases (state restored, not reset)
+    half.coalesce(1).write.mode("append").parquet(terms_dir)
+    second = run_once()
+
+    true_half = {
+        r["term"]: r["n"]
+        for r in half.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    grew = 0
+    for (g, t), est2 in second.items():
+        if (g, t) in first and t in true_half:
+            assert est2 >= first[(g, t)], (g, t)
+            if est2 > true_half[t]:  # exceeds any single phase's max
+                grew += 1
+    assert grew > 0
