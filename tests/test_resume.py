@@ -216,3 +216,28 @@ def test_vacuum_reclaims_orphan_staging_only(spark, pages, tmp_path_factory):
     assert set(cat.committed_chunks("extracted")) == before
     for c in cat.committed_chunks("extracted").values():
         assert spark.read.parquet(c["path"]).count() > 0
+
+
+def test_read_diff_is_incremental_append_scan(spark, pages, tmp_path_factory):
+    """read_diff(from, to) == the rows added in that commit window:
+    diffs partition the table (prefix + diff == larger prefix), the
+    full-range diff equals the full table, and empty/invalid windows
+    return None — the change-data feed a downstream consumer tails."""
+    from text_extraction_evaluation_spark.plans.jobs import run_extraction_job
+    from text_extraction_evaluation_spark.sources.catalog import LocalCatalog
+
+    root = str(tmp_path_factory.mktemp("run_diff"))
+    run_extraction_job(spark, pages, root, n_buckets=8, buckets_per_chunk=2)
+    cat = LocalCatalog(root)
+    n_commits = len(cat.committed_chunks("extracted"))
+    assert n_commits >= 3
+    full = cat.read(spark, "extracted").count()
+
+    assert cat.read_diff(spark, "extracted", 0, n_commits).count() == full
+    for k in range(1, n_commits):
+        prefix = cat.read(spark, "extracted", as_of=k).count()
+        nxt = cat.read(spark, "extracted", as_of=k + 1).count()
+        assert cat.read_diff(spark, "extracted", k, k + 1).count() == nxt - prefix
+    assert cat.read_diff(spark, "extracted", 2, 2) is None
+    assert cat.read_diff(spark, "extracted", 3, 2) is None
+    assert cat.read_diff(spark, "extracted", n_commits, n_commits + 5) is None

@@ -179,6 +179,31 @@ class LocalCatalog:
                 return None
         return spark.read.parquet(*[c["path"] for c in ordered])
 
+    def read_diff(
+        self, spark: SparkSession, table: str, from_version: int, to_version: int
+    ) -> DataFrame | None:
+        """Incremental snapshot diff: the rows ADDED between commit
+        ``from_version`` (exclusive) and ``to_version`` (inclusive) —
+        the LocalCatalog analogue of Iceberg's incremental append scan
+        (``start-snapshot-id``/``end-snapshot-id``). Because chunks are
+        append-only and immutable once committed, the diff is exactly
+        the chunk files in that commit-order window — no row-level
+        comparison, no read of the earlier snapshot. This is the
+        change-data feed a downstream consumer (index refresh,
+        incremental dedup, mix rebuild) tails instead of re-reading
+        the table. Returns None if the window holds no chunks."""
+        if to_version <= from_version:
+            return None
+        chunks = self.committed_chunks(table)
+        ordered = sorted(
+            chunks.values(),
+            key=lambda c: (c.get("seq", 0), c["committed_at_unix"]),
+        )
+        window = ordered[max(0, from_version): max(0, to_version)]
+        if not window:
+            return None
+        return spark.read.parquet(*[c["path"] for c in window])
+
     def drop(self, table: str) -> None:
         import shutil
 
