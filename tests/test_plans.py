@@ -319,3 +319,54 @@ def test_domain_cap_window_has_partial_group_limit(spark):
     assert partial, f"no partial WindowGroupLimit pass in:\n{plan}"
     # the census join stays broadcast (38 hosts, never a shuffle join)
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """The 100-TB shuffle-join shrinker: with runtime filters enabled,
+    Catalyst builds a Bloom filter from the SELECTIVE (filtered) side
+    of a shuffle join and pushes it into the big side's scan, so most
+    non-matching lineitem rows die before the exchange instead of
+    shuffling. This test pins the injection happening on this Spark
+    version with the thresholds a large deployment would set (the
+    defaults gate on a 10 GB application-side scan, far above the
+    fixture). If an upgrade silently stops injecting, fail loudly."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtimeFilter.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF0001}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "bloom" in optimized_of(j).lower()
+        assert "bloom" in plan_of(j).lower()
+        # and the result is unaffected by the filter (no false negatives)
+        with_bloom = {r["o_orderpriority"]: r["count"] for r in j.collect()}
+        spark.conf.set(
+            "spark.sql.optimizer.runtimeFilter.bloomFilter.enabled", "false"
+        )
+        without = {r["o_orderpriority"]: r["count"] for r in (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        )}
+        assert with_bloom == without
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
