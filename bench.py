@@ -220,6 +220,13 @@ def main() -> None:
         "bpe_encode_census",
         "heavy_hitters_cms",
         "unicode_nfc_census",
+        "doc_sample_weighted",
+        "pca_power_iteration",
+        "leakage_safe_split_census",
+        "outlink_path_census",
+        "template_shape_census",
+        "crawl_novel_shingles",
+        "readability_census",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time
