@@ -222,6 +222,7 @@ def main() -> None:
         "unicode_nfc_census",
         "doc_sample_weighted",
         "pca_power_iteration",
+        "pca_project_census",
         "leakage_safe_split_census",
         "outlink_path_census",
         "template_shape_census",

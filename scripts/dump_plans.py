@@ -183,6 +183,9 @@ def main() -> None:
         ("readability_census", "Flesch census: three map-side regex "
          "counters folded by one (lang) aggregate — no shuffle of "
          "text"),
+        ("pca_project_census", "PCA application: one-row broadcast "
+         "component, map-side integer fold projection, one (label) "
+         "aggregate"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))

@@ -333,7 +333,7 @@ def test_runtime_bloom_filter_join_injection(spark):
     from pyspark.sql import functions as F
 
     confs = {
-        "spark.sql.optimizer.runtimeFilter.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
@@ -355,7 +355,7 @@ def test_runtime_bloom_filter_join_injection(spark):
         # and the result is unaffected by the filter (no false negatives)
         with_bloom = {r["o_orderpriority"]: r["count"] for r in j.collect()}
         spark.conf.set(
-            "spark.sql.optimizer.runtimeFilter.bloomFilter.enabled", "false"
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
         )
         without = {r["o_orderpriority"]: r["count"] for r in (
             li.join(o, li.l_orderkey == o.o_orderkey)

@@ -734,6 +734,8 @@ def outlink_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _outlink_sql() -> str:
+    from ..sources.synth import SECOND_CRAWL_MOD, SECOND_CRAWL_REM
+
     # Per-variant link multiplicities of the synth templates: every
     # page carries the nav (5 paths) + footer (2); variants add their
     # own. Mirrors sources/synth.py _html_for.
@@ -752,7 +754,8 @@ def _outlink_sql() -> str:
 WITH pages AS (
   SELECT doc_id % 16 AS variant FROM documents
   UNION ALL
-  SELECT (doc_id % 16 + 2) % 16 FROM documents WHERE doc_id % 20 = 7
+  SELECT (doc_id % 16 + 2) % 16 FROM documents
+  WHERE doc_id % {SECOND_CRAWL_MOD} = {SECOND_CRAWL_REM}
 ), vc AS (
   SELECT variant, COUNT(*) AS n FROM pages GROUP BY 1
 ), uni AS (
@@ -922,7 +925,12 @@ def template_shape_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _template_shape_sql() -> str:
-    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+    from ..sources.synth import (
+        HOT_HOST_SOURCE,
+        N_HOSTS,
+        SECOND_CRAWL_MOD,
+        SECOND_CRAWL_REM,
+    )
 
     shape_rows = ", ".join(
         f"({v}, '{s}')" for v, s in sorted(_VARIANT_SHAPES.items())
@@ -935,7 +943,7 @@ WITH pages AS (
   SELECT doc_id % 16 AS variant, {host_expr} AS host FROM documents
   UNION ALL
   SELECT (doc_id % 16 + 2) % 16, {host_expr} FROM documents
-  WHERE doc_id % 20 = 7
+  WHERE doc_id % {SECOND_CRAWL_MOD} = {SECOND_CRAWL_REM}
 )
 SELECT m.shape, COUNT(*) AS n_pages,
        CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
