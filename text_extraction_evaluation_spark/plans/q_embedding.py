@@ -838,6 +838,54 @@ GROUP BY lang
 """
 
 
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality EVALUATION: recall@3 of the IVF probe against the
+    brute-force cosine ground truth, per query, in ONE plan — the same
+    evaluate-the-approximation discipline the extraction layer applies
+    to extractors, turned on the ANN index itself. This is the number
+    that decides nprobe/cell-count tuning before a 10^9-vector
+    deployment.
+
+    Scale shape: composes the two registered plans (broadcast query
+    sides, cell-bounded probe); the comparison join is on
+    (query_id, neighbor_id) over topk-bounded rows — tiny at any
+    corpus size."""
+    brute = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("nn_rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ivf.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = ivf.select("query_id").distinct()
+    n_hits = F.coalesce("n_hits", F.lit(0)).cast("bigint")
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hits.alias("n_hits"),
+        F.round(n_hits / 3.0, 6).alias("recall_at_3"),
+    )
+
+
+def _recall_sql() -> str:
+    return f"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM ({_ANN_SQL}) WHERE nn_rank <= 3
+), ivf AS (
+  SELECT query_id, neighbor_id FROM ({_IVF_SQL})
+), hits AS (
+  SELECT query_id, COUNT(*) AS n_hits
+  FROM ivf JOIN brute USING (query_id, neighbor_id) GROUP BY 1
+)
+SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / 3.0, 6) AS recall_at_3
+FROM (SELECT DISTINCT query_id FROM ivf) q LEFT JOIN hits h USING (query_id)
+"""
+
+
 WSAMPLE_K = 50
 
 
@@ -990,6 +1038,7 @@ _REGISTRY = {
     "q_events_asof_join": (q_events_asof_join, _ASOF_SQL),
     "q_events_range_join": (q_events_range_join, _RANGE_JOIN_SQL),
     "ann_ivf_topk": (ann_ivf_topk, _IVF_SQL),
+    "ann_ivf_recall": (ann_ivf_recall, _recall_sql()),
     "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
     "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, _Q5_SQL),
