@@ -228,6 +228,7 @@ def main() -> None:
         "template_shape_census",
         "crawl_novel_shingles",
         "readability_census",
+        "ann_ivf_recall",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

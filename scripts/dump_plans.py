@@ -186,6 +186,8 @@ def main() -> None:
         ("pca_project_census", "PCA application: one-row broadcast "
          "component, map-side integer fold projection, one (label) "
          "aggregate"),
+        ("ann_ivf_recall", "index evaluation: brute + IVF plans "
+         "composed, comparison join over topk-bounded rows only"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
