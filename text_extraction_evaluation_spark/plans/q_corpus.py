@@ -1862,6 +1862,65 @@ FROM hits h JOIN sizes USING (doc_id)
 """
 
 
+def decontamination_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination DELIVERABLE: the census's sibling clean
+    pass (same pairing as dup_span_census/clean and line_dedup
+    census/clean) — drop every training document with ANY benchmark
+    shingle hit and pin the surviving corpus per language: doc count,
+    dropped count, kept token budget, and a fingerprint SUM over the
+    kept texts, so the driver compare certifies the exact surviving
+    byte-set, not just its size.
+
+    Scale shape: the contaminated id set (tiny — hits only) comes from
+    the census plan and meets the training corpus in a LEFT join on
+    doc_id; the census is one (lang) hash aggregate. Text never
+    shuffles — the fingerprint collapses map-side."""
+    contaminated = benchmark_decontamination(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("hit")
+    )
+    docs = _docs_par(spark, sf_dir)
+    is_bench = F.substring("source", 4, 10).cast("int") >= 10
+    train = docs.filter(~is_bench).select("doc_id", "lang", "text")
+    tagged = train.join(contaminated, "doc_id", "left").withColumn(
+        "hit", F.coalesce("hit", F.lit(False))
+    )
+    fp = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint")
+    n_tok = F.size(tokens_col("text")).cast("bigint")
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("hit").cast("bigint")).alias("n_dropped"),
+        F.sum(F.when(~F.col("hit"), n_tok).otherwise(F.lit(0))).alias(
+            "kept_tokens"
+        ),
+        F.sum(F.when(~F.col("hit"), fp).otherwise(F.lit(0))).alias(
+            "kept_fp_sum"
+        ),
+    )
+
+
+_DECONTAM_CLEAN_SQL = f"""
+WITH contaminated AS (
+  SELECT doc_id FROM ({_DECONTAM_SQL})
+), train AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE CAST(substr(source, 4) AS INT) < 10
+), tagged AS (
+  SELECT t.lang, t.text, c.doc_id IS NOT NULL AS hit
+  FROM train t LEFT JOIN contaminated c USING (doc_id)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN NOT hit
+                THEN len(string_split_regex(trim(text), '\\s+'))
+                ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(SUM(CASE WHEN NOT hit
+                THEN ('0x' || substr(md5(text), 1, 12))::BIGINT
+                ELSE 0 END) AS BIGINT) AS kept_fp_sum
+FROM tagged
+GROUP BY lang
+"""
+
+
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter (Rae et al. 2021 §A1.1): per-doc
     duplicate-n-gram and top-token fractions, the second quality gate
@@ -2117,6 +2176,7 @@ _REGISTRY = {
     "readability_census": (readability_census, _READABILITY_SQL),
     "bm25_topk": (bm25_topk, _BM25_SQL),
     "benchmark_decontamination": (benchmark_decontamination, _DECONTAM_SQL),
+    "decontamination_clean": (decontamination_clean, _DECONTAM_CLEAN_SQL),
     "quality_repetition": (quality_repetition, _REPETITION_SQL),
     "corpus_mixture_weights": (corpus_mixture_weights, _MIXTURE_SQL),
     "doc_shard_assignment": (doc_shard_assignment, _SHARD_SQL),

@@ -729,8 +729,159 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed supervised training: linear probe by least-squares GD
+# ---------------------------------------------------------------------------
+
+PROBE_BUCKETS = 64
+PROBE_ITERS = 3
+# Step divisor for the MEAN gradient. Stability needs 1/LR_DIV below
+# 2/lambda_max(XtX/N); with ~100-token docs over 64 buckets lambda_max
+# of the per-doc-normalized Gram is ~1e4, so 1e5 gives ~20x margin —
+# and because the gradient is the MEAN over docs, the bound (hence
+# this constant) is scale-invariant in corpus size.
+PROBE_LR_DIV = 100_000
+PROBE_TOPK = 10
+
+
+def _tdiv(c, d: int):
+    """Truncating integer division as a column expression —
+    ``(c - c % d) / d`` with both engines' dividend-signed ``%``, so it
+    matches DuckDB's ``//`` on negatives (both truncate toward zero)."""
+    return ((c - c % F.lit(d)) / F.lit(d)).cast("bigint")
+
+
+def linear_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPERVISED distributed training, the fourth training loop next
+    to k-means (unsupervised), BPE (tokenizer), and PCA (spectral): a
+    linear probe ``is-English?`` on hashed unigram-count features,
+    fit by full-batch least-squares gradient descent — the trainable
+    twin of ``quality_classifier_score``'s fixed-weight inference.
+    Emits the top-|weight| feature buckets after ``PROBE_ITERS`` steps.
+
+    Scale shape per iteration: predictions are one (doc) aggregate of
+    the sparse feature rows joined to the ONE-ROW broadcast weight
+    vector; the gradient is one (bucket) aggregate (64 keys) of
+    feature×residual products; the update folds map-side into the next
+    one-row weight array. No driver actions, no dense matrix — the
+    feature matrix stays sparse (doc, bucket, count) rows throughout,
+    exactly how a 10^9-doc probe fit runs.
+
+    Determinism: counts, labels (micro-units), products, and sums are
+    exact BIGINTs; the only divisions are truncating integer divs
+    (mean gradient, then learning-rate step), identical in both
+    engines — the whole trajectory is integer-exact."""
+    docs = _docs_par(spark, sf_dir)
+    y = (F.col("lang") == "en").cast("bigint").alias("y")
+    words = docs.select(
+        "doc_id", y, F.explode(tokens_col("text")).alias("w")
+    ).filter(F.col("w") != "")
+    bucket = F.pmod(
+        md5_int(F.concat(F.col("w"), F.lit("#probe"))), F.lit(PROBE_BUCKETS)
+    )
+    feats = (
+        words.groupBy("doc_id", bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("x"), F.min("y").alias("y"))
+    )
+    nd = feats.agg(F.count_distinct("doc_id").alias("n"))
+    w_row = spark.range(1).select(
+        F.array(*[F.lit(0).cast("bigint")] * PROBE_BUCKETS).alias("wv")
+    )
+    for _ in range(PROBE_ITERS):
+        pred = (
+            feats.crossJoin(F.broadcast(w_row))
+            .withColumn(
+                "t", F.col("x") * F.element_at("wv", F.col("b").cast("int") + 1)
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("t").alias("yhat"), F.min("y").alias("y"))
+        )
+        resid = pred.select(
+            "doc_id", (F.col("yhat") - F.col("y") * F.lit(1_000_000)).alias("r")
+        )
+        g = (
+            feats.join(resid, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("x") * F.col("r")).alias("gs"))
+            .crossJoin(F.broadcast(nd))
+            .select("b", F.expr("gs div n").alias("gm"))
+        )
+        gmap = g.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "gm"))
+            ).alias("gmap")
+        )
+        w_row = w_row.crossJoin(F.broadcast(gmap)).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PROBE_BUCKETS - 1)),
+                lambda i: F.element_at("wv", i.cast("int") + 1)
+                - _tdiv(
+                    F.coalesce(
+                        F.element_at("gmap", i.cast("bigint")),
+                        F.lit(0).cast("bigint"),
+                    ),
+                    PROBE_LR_DIV,
+                ),
+            ).alias("wv")
+        )
+    wt = w_row.select(F.posexplode("wv").alias("b", "wt"))
+    rw = Window.orderBy(F.abs("wt").desc(), F.asc("b"))
+    return (
+        wt.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= PROBE_TOPK)
+        .select(
+            F.col("b").cast("int").alias("bucket"),
+            "wt",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _probe_sql(
+    iters: int = PROBE_ITERS,
+    buckets: int = PROBE_BUCKETS,
+    lr_div: int = PROBE_LR_DIV,
+) -> str:
+    parts = [
+        f"""WITH wtok AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w || '#probe'), 1, 15))::BIGINT % {buckets} AS b,
+         COUNT(*) AS x, MIN(y) AS y
+  FROM wtok WHERE w <> '' GROUP BY 1, 2
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM feats
+), w0 AS (
+  SELECT d AS b, CAST(0 AS BIGINT) AS wt FROM range(0, {buckets}) t(d)
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""", pred{i} AS (
+  SELECT f.doc_id, CAST(SUM(f.x * w.wt) AS BIGINT) AS yhat, MIN(f.y) AS y
+  FROM feats f JOIN w{i - 1} w USING (b) GROUP BY 1
+), g{i} AS (
+  SELECT f.b,
+         CAST(SUM(f.x * (p.yhat - p.y * 1000000)) AS BIGINT) // n AS gm
+  FROM feats f JOIN pred{i} p USING (doc_id), nd
+  GROUP BY f.b, nd.n
+), w{i} AS (
+  SELECT w.b, w.wt - COALESCE(g.gm, 0) // {lr_div} AS wt
+  FROM w{i - 1} w LEFT JOIN g{i} g USING (b)
+)""")
+    parts.append(f"""
+SELECT CAST(b AS INTEGER) AS bucket, CAST(wt AS BIGINT) AS wt,
+       CAST(ROW_NUMBER() OVER (ORDER BY abs(wt) DESC, b) AS INTEGER) AS rank
+FROM w{iters}
+QUALIFY rank <= {PROBE_TOPK}""")
+    return "".join(parts)
+
+
 _REGISTRY = {
     "lm_perplexity_score": (lm_perplexity_score, _PPL_SQL),
+    "linear_probe_train": (linear_probe_train, _probe_sql()),
     "dsir_importance_weights": (dsir_importance_weights, _DSIR_SQL),
     "ppl_bucket_census": (ppl_bucket_census, _PPL_BUCKET_SQL),
     "quality_classifier_score": (quality_classifier_score, _QC_SQL),
