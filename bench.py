@@ -229,6 +229,8 @@ def main() -> None:
         "crawl_novel_shingles",
         "readability_census",
         "ann_ivf_recall",
+        "decontamination_clean",
+        "linear_probe_train",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

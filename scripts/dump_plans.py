@@ -188,6 +188,13 @@ def main() -> None:
          "aggregate"),
         ("ann_ivf_recall", "index evaluation: brute + IVF plans "
          "composed, comparison join over topk-bounded rows only"),
+        ("decontamination_clean", "clean pass: tiny contaminated-id "
+         "set LEFT-joins the training corpus; fingerprint collapses "
+         "map-side, text never shuffles"),
+        ("linear_probe_train", "supervised GD loop: sparse feature "
+         "rows x one-row broadcast weights, one (doc) aggregate + one "
+         "64-key (bucket) gradient aggregate per iteration, no driver "
+         "actions"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
