@@ -9,6 +9,12 @@ that sit between corpus hygiene and the final pretraining mix —
   importance ratio log(p_target/p_raw) per document — the weight that
   resamples a raw crawl toward a target domain.
 
+Plus the stages that grew around them: perplexity terciles
+(ppl_bucket_census), fastText-shaped classifier inference
+(quality_classifier_score), a SUPERVISED linear-probe training loop
+(linear_probe_train — least-squares GD, integer-exact), GPT-style
+sequence packing, and the 5-stage curation funnel.
+
 Same contract as the other plans.q_* modules: each DataFrame plan has
 a DuckDB twin with identically aliased columns.
 
