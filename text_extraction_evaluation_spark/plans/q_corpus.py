@@ -777,6 +777,42 @@ SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src
 """
 
 
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ANALYSIS report: the near-dup cluster-SIZE distribution —
+    how many duplicate groups of each size the corpus holds, with the
+    doc mass they account for. The standard post-dedup diagnostic: a
+    long tail of giant clusters means template spam (act upstream);
+    mostly pairs means organic re-posts. Composes the components
+    output with two bounded aggregates — (component) then (size) —
+    both map-side-combining; nothing here grows with corpus size
+    beyond the component table itself."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+def _cluster_hist_sql() -> str:
+    return f"""
+WITH comp AS ({_components_sql()}),
+sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+"""
+
+
 def dedup_keep_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual dedup DELIVERABLE, end-to-end: run the full near-dup
     removal (MinHash-LSH candidates -> exact-Jaccard verification ->
@@ -1921,6 +1957,56 @@ GROUP BY lang
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE overlap matrix: for every source pair, how many
+    distinct 8-token shingles they share — the mix-design view of
+    contamination (doc-level flags live in benchmark_decontamination).
+    Two sources with heavy overlap should not both enter the training
+    mix at full weight; this is the table that decides it.
+
+    Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    rows first (map-side-combining aggregate), so the shingle
+    equi-self-join fans out at most #sources rows per shingle — the
+    join blowup is bounded by the SOURCE count (~20), never document
+    frequency, making the worst key O(#sources²) regardless of corpus
+    size."""
+    docs = _docs_par(spark, sf_dir)
+    sh = docs.select(
+        "source",
+        word_shingles(tokens_col("text"), n=DECONTAM_SHINGLE_N).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    inv = sh.select("source", F.explode("sh").alias("s")).distinct()
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(b, "s")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+_OVERLAP_SQL = f"""
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT source,
+         list_distinct([array_to_string(w[i:i+{DECONTAM_SHINGLE_N - 1}], ' ')
+                        for i in range(1, len(w) - {DECONTAM_SHINGLE_N - 2})]) AS sl
+  FROM t WHERE len(w) >= {DECONTAM_SHINGLE_N}
+), inv AS (
+  SELECT DISTINCT source, unnest(sl) AS s FROM sh
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+FROM inv a JOIN inv b USING (s)
+WHERE a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter (Rae et al. 2021 §A1.1): per-doc
     duplicate-n-gram and top-token fractions, the second quality gate
@@ -2177,6 +2263,8 @@ _REGISTRY = {
     "bm25_topk": (bm25_topk, _BM25_SQL),
     "benchmark_decontamination": (benchmark_decontamination, _DECONTAM_SQL),
     "decontamination_clean": (decontamination_clean, _DECONTAM_CLEAN_SQL),
+    "dedup_cluster_histogram": (dedup_cluster_histogram, _cluster_hist_sql()),
+    "source_overlap_matrix": (source_overlap_matrix, _OVERLAP_SQL),
     "quality_repetition": (quality_repetition, _REPETITION_SQL),
     "corpus_mixture_weights": (corpus_mixture_weights, _MIXTURE_SQL),
     "doc_shard_assignment": (doc_shard_assignment, _SHARD_SQL),
