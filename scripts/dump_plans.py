@@ -195,6 +195,9 @@ def main() -> None:
          "rows x one-row broadcast weights, one (doc) aggregate + one "
          "64-key (bucket) gradient aggregate per iteration, no driver "
          "actions"),
+        ("source_overlap_matrix", "distinct (source, shingle) collapse "
+         "before the self-join — worst key bounded by #sources, not "
+         "document frequency"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
