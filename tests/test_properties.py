@@ -185,3 +185,50 @@ def test_bpe_string_replace_equals_greedy_fold(word, x, y):
         want = _apply_fold(s, x, y)
         assert got == want
         assert got.count("<") <= s.count("<")
+
+
+# --- A-ES weighted sampling (mirror of plans/q_embedding) ------------------
+
+
+def _aes_priority(doc_id: int, w: int) -> float:
+    h = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:12], 16)
+    import math
+
+    u = (h + 1) / float(1 << 48)
+    lnq = round(math.log(u) * 1e9)  # nano-nat quantization, as both engines
+    return -lnq / float(max(w, 1))
+
+
+@given(st.dictionaries(st.integers(0, 10_000), st.integers(1, 5_000),
+                       min_size=2, max_size=60),
+       st.integers(2, 1000))
+@settings(max_examples=200, deadline=None)
+def test_aes_selection_is_weight_scale_invariant(weights, c):
+    """Multiplying every weight by a constant leaves the A-ES top-k
+    selection unchanged — the property that makes the sample
+    well-defined when weights are re-unitized (chars vs KB)."""
+    k = max(1, len(weights) // 3)
+
+    def topk(ws):
+        return sorted(ws, key=lambda d: (_aes_priority(d, ws[d]), d))[:k]
+
+    scaled = {d: w * c for d, w in weights.items()}
+    assert topk(weights) == topk(scaled)
+
+
+@given(st.dictionaries(st.integers(0, 10_000), st.integers(1, 5_000),
+                       min_size=2, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_aes_priority_monotone_in_weight(weights):
+    """Raising one document's weight strictly lowers (improves) its own
+    priority and leaves every other priority untouched — so more mass
+    can only help selection, never hurt it."""
+    d0 = sorted(weights)[0]
+    before = {d: _aes_priority(d, w) for d, w in weights.items()}
+    bumped = dict(weights)
+    bumped[d0] = weights[d0] * 10
+    after = {d: _aes_priority(d, w) for d, w in bumped.items()}
+    assert after[d0] < before[d0] or before[d0] == 0.0
+    for d in weights:
+        if d != d0:
+            assert after[d] == before[d]
