@@ -231,6 +231,18 @@ def main() -> None:
         "ann_ivf_recall",
         "decontamination_clean",
         "linear_probe_train",
+        "vocab_growth_census",
+        "token_entropy_census",
+        "bigram_lift_topk",
+        "anchor_text_census",
+        "page_encoding_census",
+        "hard_negative_mining",
+        "embedding_sq8_census",
+        "phrase_search_census",
+        "quality_ppl_contingency",
+        "mixture_temperature_plan",
+        "q_event_funnel",
+        "q_retention_cohorts",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

@@ -198,6 +198,43 @@ def main() -> None:
         ("source_overlap_matrix", "distinct (source, shingle) collapse "
          "before the self-join — worst key bounded by #sources, not "
          "document frequency"),
+        ("vocab_growth_census", "Heaps' law: one min-aggregate over "
+         "exploded tokens finds every type's first occurrence; the "
+         "cumulative window runs over the tiny checkpoint table only"),
+        ("token_entropy_census", "unigram entropy: (doc, token) hash "
+         "aggregate with map-side combine + doc_id window, integer "
+         "micro-nat sums — no joins, no broadcast"),
+        ("bigram_lift_topk", "collocation lift: min-count filter "
+         "shrinks candidates before any join; survivors broadcast "
+         "onto unigram counts; TakeOrdered top-k, no full sort"),
+        ("anchor_text_census", "paired href+anchor extraction: "
+         "map-side JVM regex over html bytes, one (path, anchor) "
+         "aggregate — html never shuffles"),
+        ("page_encoding_census", "charset sniff: pruned Project into "
+         "MapInPandas (bytes cross Arrow once), codec-grain hash "
+         "aggregate with map-side combine"),
+        ("hard_negative_mining", "hardest-negative census: broadcast "
+         "nested-loop pair scoring (stated brute baseline; IVF probe "
+         "is the swap-in), per-vector argmax window, label-pair rollup"),
+        ("embedding_sq8_census", "SQ8 audit: scale materialized as a "
+         "column (not inlined into the lambda — the measured O(dim^2) "
+         "trap), map-side only, one label aggregate"),
+        ("phrase_search_census", "positional phrase search: postings "
+         "filtered to the probe vocabulary map-side, then (doc_id, "
+         "pos+i) equi-join chains — no full-index shuffle"),
+        ("quality_ppl_contingency", "filter agreement: broadcast LM "
+         "reuse + one-row broadcast corpus total + map-side quality "
+         "flag, 4-row aggregate"),
+        ("mixture_temperature_plan", "tau-sampling plan: source-grain "
+         "census, one-row broadcast totals, pure BIGINT normalization "
+         "over quantized weights"),
+        ("q_event_funnel", "ordered funnel: three chained conditional-"
+         "MIN windows over ONE user_id exchange — no self-joins, no "
+         "per-step log passes"),
+        ("q_retention_cohorts", "retention matrix: one user_id "
+         "aggregate to the distinct day set (cohort = array_min), "
+         "then a (cohort, offset) aggregate — two exchanges, no "
+         "window, no sort"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))

@@ -51,6 +51,18 @@ REPRESENTATIVE = [
     "pii_redaction",
     "url_blocklist_filter",
     "crawl_content_diff",
+    "vocab_growth_census",
+    "token_entropy_census",
+    "bigram_lift_topk",
+    "anchor_text_census",
+    "page_encoding_census",
+    "hard_negative_mining",
+    "embedding_sq8_census",
+    "phrase_search_census",
+    "quality_ppl_contingency",
+    "mixture_temperature_plan",
+    "q_event_funnel",
+    "q_retention_cohorts",
 ]
 
 

@@ -117,6 +117,41 @@ def nfc_normalize_stats(docs: DataFrame, text_col: str = "t") -> DataFrame:
     return pruned.mapInPandas(kernel, NFC_STATS_SCHEMA)
 
 
+SNIFF_SCHEMA = "url string, warc_ts timestamp, codec string, n_bytes long"
+
+
+def sniff_codec_stats(pages: DataFrame) -> DataFrame:
+    """Arrow kernel: charset sniff per raw page (algo.encoding
+    sniff_decode — BOM, meta charset, utf-8 attempt, latin-1
+    fallback), emitting the page identity + codec used + byte size,
+    never the decoded text. This is the standalone census shape of the
+    sniff that extract_pages runs inline; a pruned mapInPandas over
+    (url, warc_ts, html) so the html bytes cross Arrow once and are
+    dropped inside the kernel."""
+    from ..algo.encoding import sniff_decode
+
+    pruned = pages.select("url", "warc_ts", "html")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codecs_, sizes = [], []
+            for raw in pdf["html"]:
+                b = bytes(raw) if raw is not None else b""
+                _, codec = sniff_decode(b)
+                codecs_.append(codec)
+                sizes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "codec": codecs_,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return pruned.mapInPandas(kernel, SNIFF_SCHEMA)
+
+
 def rolling_fingerprints(
     docs: DataFrame,
     window: int = 5,

@@ -2099,6 +2099,90 @@ FROM m
 MIXTURE_MAX_WEIGHT_E6 = 5_000_000
 
 
+# Temperature for the tau-scaled sampling plan (the multilingual-LM
+# convention, e.g. XLM-R's tau=0.7: upsample small sources toward —
+# but not all the way to — uniform).
+MIX_TAU_TENTHS = 7
+# Documents drawn per epoch by the planned sampler.
+MIX_EPOCH_DOC_BUDGET = 10_000
+
+
+def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling plan: per-source draw probabilities
+    p_s ∝ (tokens_s / total)^tau with tau=0.7 and the integer document
+    budget each source gets per epoch — the standard multilingual-mix
+    rule (between proportional tau=1 and uniform tau=0) turned into a
+    loader-ready plan.
+
+    Cross-engine determinism: ratio^tau goes through the module's ln
+    convention — one ln on an exact-integer ratio, quantized to
+    micro-nats, scaled by tau IN THE SAME double expression, then one
+    exp floored to 1e-9 units. Normalization and the per-source budget
+    are pure BIGINT arithmetic over those quantized weights (no double
+    sum anywhere), so partial-aggregation order cannot drift.
+
+    Scale shape: one source-grain token census (map-side combine), a
+    one-row broadcast total, and arithmetic over the tiny source
+    table. Output is one row per source at any corpus scale."""
+    docs = _docs_par(spark, sf_dir)
+    cells = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    total = cells.agg(F.sum("n_tokens").alias("total_tokens"))
+    t_e6 = F.round(
+        F.log(F.col("n_tokens").cast("double") / F.col("total_tokens"))
+        * (MIX_TAU_TENTHS / 10.0)
+        * 1e6
+    ).cast("bigint")
+    w_e9 = F.floor(
+        F.lit(1e9) * F.exp(F.col("t_e6").cast("double") / 1e6)
+    ).cast("bigint")
+    weighted = (
+        cells.join(F.broadcast(total))
+        .withColumn("t_e6", t_e6)
+        .withColumn("w_e9", w_e9)
+    )
+    wtot = weighted.agg(F.sum("w_e9").alias("w_total"))
+    return (
+        weighted.join(F.broadcast(wtot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "w_e9",
+            F.expr("(w_e9 * CAST(1000000 AS BIGINT)) DIV w_total").alias(
+                "share_e6"
+            ),
+            F.expr(
+                f"({MIX_EPOCH_DOC_BUDGET} * w_e9) DIV w_total"
+            ).alias("epoch_docs"),
+        )
+    )
+
+
+_MIX_TEMP_SQL = f"""
+WITH cells AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), total AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM cells),
+weighted AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(1e9 * exp(
+           CAST(ROUND(ln(CAST(n_tokens AS DOUBLE) / total_tokens)
+                      * {MIX_TAU_TENTHS / 10.0} * 1e6) AS BIGINT)
+           / 1e6)) AS BIGINT) AS w_e9
+  FROM cells CROSS JOIN total
+), wtot AS (SELECT CAST(SUM(w_e9) AS BIGINT) AS w_total FROM weighted)
+SELECT source, n_docs, n_tokens, w_e9,
+       (w_e9 * CAST(1000000 AS BIGINT)) // w_total AS share_e6,
+       ({MIX_EPOCH_DOC_BUDGET} * w_e9) // w_total AS epoch_docs
+FROM weighted CROSS JOIN wtot
+"""
+
+
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix planning: per (lang, source) token census plus the
     sampling weight that would equalize every cell's token share in
@@ -2235,6 +2319,276 @@ FROM cum GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Positional phrase search (n-way posting intersection)
+# ---------------------------------------------------------------------------
+
+# Fixed probe phrases (two bigrams + one trigram). Constant by design —
+# the operator is the POSITIONAL INTERSECTION machinery, not the query
+# set; a phrase absent from a given corpus reports 0, it does not
+# vanish from the result.
+PHRASES = [
+    ("order", "fast"),
+    ("part", "filter"),
+    ("part", "filter", "hash"),
+]
+
+
+def phrase_search_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index: for each
+    probe phrase, the documents and occurrence count where its words
+    appear CONSECUTIVELY — the positional-postings intersection every
+    search/dedup stack needs beyond bag-of-words (bm25_topk) matching.
+
+    Plan: postings (term, doc_id, pos) from one posexplode, filtered
+    map-side to the (tiny, constant) phrase vocabulary BEFORE anything
+    shuffles; a phrase of k words is a chain of k-1 equi-joins on
+    (doc_id, pos + offset) over those filtered postings. Every phrase
+    is reported, zero matches included (left join from the phrase dim).
+
+    Scale shape: the term filter cuts the posting stream to the probe
+    terms' document frequency; the intersection joins carry only those
+    postings, keyed on (doc_id, pos) — no text, no full-index shuffle."""
+    docs = _docs_par(spark, sf_dir)
+    all_terms = sorted({t for p in PHRASES for t in p})
+    postings = (
+        docs.select(
+            "doc_id", F.posexplode(tokens_col("text")).alias("pos", "w")
+        )
+        .filter(F.col("w").isin(all_terms))
+    )
+    per_phrase = []
+    for phrase in PHRASES:
+        m = postings.filter(F.col("w") == phrase[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for i, term in enumerate(phrase[1:], start=1):
+            nxt = postings.filter(F.col("w") == term).select(
+                F.col("doc_id").alias("d"), F.col("pos").alias("p")
+            )
+            m = m.join(
+                nxt,
+                (m.doc_id == nxt.d) & (nxt.p == F.col("p0") + i),
+            ).select("doc_id", "p0")
+        per_phrase.append(
+            m.agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+            ).select(
+                F.lit(" ".join(phrase)).alias("phrase"),
+                "n_docs",
+                "n_occurrences",
+            )
+        )
+    return reduce(DataFrame.unionAll, per_phrase)
+
+
+def _phrase_sql() -> str:
+    parts = []
+    for phrase in PHRASES:
+        k = len(phrase)
+        conds = " AND ".join(
+            f"w[i + {j}] = '{t}'" for j, t in enumerate(phrase)
+        )
+        parts.append(f"""
+SELECT '{" ".join(phrase)}' AS phrase,
+       COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM (
+  SELECT doc_id, unnest(range(1, len(w) - {k - 2})) AS i
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+  ) WHERE len(w) >= {k}
+) s JOIN (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+) d USING (doc_id)
+WHERE {conds}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law) — tokenizer/vocab sizing signal
+# ---------------------------------------------------------------------------
+
+# Docs per growth checkpoint. 50 gives 10 checkpoints on the 500-doc
+# fixtures and 100 at sf0.1; at corpus scale the bucket would be a
+# crawl segment, not a doc_id range.
+VOCAB_BUCKET_DOCS = 50
+
+
+def vocab_growth_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: for each checkpoint of
+    ``VOCAB_BUCKET_DOCS`` documents (in doc_id order), how many token
+    TYPES appear for the first time, plus the cumulative type and
+    token counts — the curve that sizes a tokenizer vocabulary and
+    predicts how much new text still buys new vocabulary.
+
+    Scale shape: "first time" is not a sequential scan — each type's
+    first occurrence is ``min(doc_id)`` per token, one hash aggregate
+    with map-side combine over the exploded tokens (the only wide
+    stage that touches token-grain data). Everything after collapses
+    to one row per checkpoint: the cumulative window runs over a
+    bucket-count-sized table (thousands of rows at petabyte scale),
+    so the unpartitioned window is safe."""
+    docs = _docs_par(spark, sf_dir)
+    tok = tokens_col("text")
+    bucket = F.expr(f"doc_id DIV {VOCAB_BUCKET_DOCS}")
+    per_bucket = docs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tok)).cast("bigint").alias("n_tokens"),
+    )
+    first_seen = (
+        docs.select(bucket.alias("b"), F.explode(tok).alias("w"))
+        .groupBy("w")
+        .agg(F.min("b").alias("first_bucket"))
+        .groupBy(F.col("first_bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    win = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = per_bucket.join(first_seen, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+    )
+    return joined.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "new_types",
+        F.sum("new_types").over(win).cast("bigint").alias("cum_types"),
+        F.sum("n_tokens").over(win).cast("bigint").alias("cum_tokens"),
+    )
+
+
+_VOCAB_GROWTH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id // {VOCAB_BUCKET_DOCS} AS b,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), per_bucket AS (
+  SELECT doc_id // {VOCAB_BUCKET_DOCS} AS bucket, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+), first_seen AS (
+  SELECT first_bucket AS bucket, COUNT(*) AS new_types
+  FROM (SELECT w, MIN(b) AS first_bucket FROM toks GROUP BY w)
+  GROUP BY 1
+), joined AS (
+  SELECT p.bucket, p.n_docs, p.n_tokens,
+         CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types
+  FROM per_bucket p LEFT JOIN first_seen f USING (bucket)
+)
+SELECT bucket, n_docs, n_tokens, new_types,
+       CAST(SUM(new_types) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_types,
+       CAST(SUM(n_tokens) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM joined
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram entropy — repetitive/gibberish detector
+# ---------------------------------------------------------------------------
+
+# Docs whose unigram entropy falls below this many micro-nats are
+# counted as "low entropy" (repetitive boilerplate / keyword stuffing).
+# ~3 nats ~ a 20-word effective vocabulary.
+LOW_ENTROPY_E6 = 3_000_000
+
+
+def token_entropy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-entropy census: each document's token
+    distribution entropy H = sum c_i/n * ln(n/c_i) (nats), averaged
+    per source, plus the count of low-entropy (repetitive) documents.
+    Low unigram entropy is the classic cheap gibberish/keyword-stuffing
+    signal that complements ``quality_repetition``'s n-gram ratios.
+
+    Cross-engine determinism: the one ``ln`` per (doc, type) is taken
+    on an exact-integer ratio ``n/c_i`` and quantized to micro-nats
+    (module convention, see plans.q_lm); per-doc entropy is the exact
+    BIGINT ``sum(c_i * term_e6) DIV n`` and per-source results are
+    exact BIGINT sums, so no aggregation-order drift is possible.
+
+    Scale shape: two token-grain exchanges — the (doc_id, token) type
+    count (hash aggregate with map-side combine) and the doc_id window
+    that co-locates a document's types for its total n — then one
+    row-per-doc collapse and a per-source rollup. No joins, nothing
+    broadcast."""
+    docs = _docs_par(spark, sf_dir)
+    counts = (
+        docs.select(
+            "doc_id", "source", F.explode(tokens_col("text")).alias("w")
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term_e6 = F.round(
+        F.log(
+            F.sum("c").over(Window.partitionBy("doc_id")).cast("double")
+            / F.col("c")
+        )
+        * 1e6
+    ).cast("bigint")
+    per_doc = (
+        counts.withColumn("term_e6", term_e6)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("term_e6")).alias("wsum"),
+        )
+        .select(
+            "source",
+            F.expr("wsum DIV n").alias("entropy_e6"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("entropy_e6") < LOW_ENTROPY_E6).cast("bigint")).alias(
+            "n_low_entropy"
+        ),
+        F.sum("entropy_e6").alias("sum_entropy_e6"),
+        F.round(
+            F.sum("entropy_e6").cast("double") / 1e6 / F.count(F.lit(1)), 6
+        ).alias("avg_entropy_nats"),
+    )
+
+
+_ENTROPY_SQL = f"""
+WITH counts AS (
+  SELECT doc_id, source, w, COUNT(*) AS c
+  FROM (
+    SELECT doc_id, source,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents
+  )
+  GROUP BY 1, 2, 3
+), terms AS (
+  SELECT doc_id, source, c,
+         CAST(ROUND(ln(CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE) / c)
+                    * 1e6) AS BIGINT) AS term_e6
+  FROM counts
+), per_doc AS (
+  SELECT source, SUM(c * term_e6) // SUM(c) AS entropy_e6
+  FROM terms GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN entropy_e6 < {LOW_ENTROPY_E6} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_entropy,
+       CAST(SUM(entropy_e6) AS BIGINT) AS sum_entropy_e6,
+       ROUND(CAST(SUM(entropy_e6) AS DOUBLE) / 1e6 / COUNT(*), 6)
+         AS avg_entropy_nats
+FROM per_doc GROUP BY source
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
@@ -2268,4 +2622,8 @@ _REGISTRY = {
     "quality_repetition": (quality_repetition, _REPETITION_SQL),
     "corpus_mixture_weights": (corpus_mixture_weights, _MIXTURE_SQL),
     "doc_shard_assignment": (doc_shard_assignment, _SHARD_SQL),
+    "vocab_growth_census": (vocab_growth_census, _VOCAB_GROWTH_SQL),
+    "token_entropy_census": (token_entropy_census, _ENTROPY_SQL),
+    "phrase_search_census": (phrase_search_census, _phrase_sql()),
+    "mixture_temperature_plan": (mixture_temperature_plan, _MIX_TEMP_SQL),
 }

@@ -1032,8 +1032,188 @@ FROM f GROUP BY 1, 2
 
 
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
+# ---------------------------------------------------------------------------
+# Hard-negative mining: embedding-space confusion census
+# ---------------------------------------------------------------------------
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining census: for every vector, its single most
+    similar OTHER-labeled vector (the 'hardest negative' contrastive
+    training wants), rolled up into a label-confusion matrix —
+    (label, hardest-negative label, count, similarity stats). High
+    avg_hard_cos between two labels = the embedding space confuses
+    them; the matrix prioritizes which class pairs need negatives.
+
+    Candidate generation here is the brute all-different-label join
+    (the stated exact baseline, like ann_cosine_topk); the 100-TB
+    path swaps it for the IVF probe (ann_ivf_topk's _ivf_probe) so
+    each vector only scores against its probed cells — the argmax and
+    census stages are unchanged. Per-vector argmax is a
+    (vec_id)-window row_number on (cos DESC, neighbor) — cos is
+    rounded to 4dp BEFORE ranking so the winner is tie-broken on
+    neighbor_id, not on sub-ulp float noise."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        # the fixture is one parquet file = one input split; the pair
+        # scoring is CPU-bound per stream row, so spread the STREAM
+        # side across all cores (the broadcast side stays whole)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    sq = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    base = emb.withColumn("nrm", F.sqrt(sq))
+    other = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos4 = F.round(dot / (F.col("nrm") * F.col("nn")), 4)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("hard_cos").desc(), F.col("neighbor_id")
+    )
+    hardest = (
+        base.join(F.broadcast(other), F.col("label") != F.col("neighbor_label"))
+        .withColumn("hard_cos", cos4)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return hardest.groupBy("label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("hard_cos"), 6).alias("avg_hard_cos"),
+        F.max("hard_cos").alias("max_hard_cos"),
+    )
+
+
+_HARD_NEG_SQL = """
+WITH n AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+         b.label AS neighbor_label,
+         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS hard_cos
+  FROM n a JOIN n b ON a.label <> b.label
+), hardest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY hard_cos DESC, neighbor_id) AS rk
+  FROM pairs
+)
+SELECT label, neighbor_label, COUNT(*) AS n_vecs,
+       ROUND(AVG(hard_cos), 6) AS avg_hard_cos,
+       MAX(hard_cos) AS max_hard_cos
+FROM hardest WHERE rk = 1
+GROUP BY label, neighbor_label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization error census — the SQ8 half of IVF+SQ
+# ---------------------------------------------------------------------------
+
+
+def embedding_sq8_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization error census: symmetric per-vector SQ8
+    (scale = max|v_i| / 127, q_i = round(v_i/scale)) and the exact
+    reconstruction error it costs, per label — the go/no-go number for
+    shipping an IVF+SQ8 index (4x memory cut) instead of full floats.
+
+    Cross-engine determinism: scale, q_i and err_i are each a short
+    chain of single IEEE ops on identical doubles, so both engines
+    compute bit-equal values; the per-element squared error is floored
+    to 1e-12 units and summed as exact BIGINTs, so no float
+    accumulation order exists anywhere. Zero vectors quantize to zero
+    error via the scale=0 guard.
+
+    Scale shape: pure map-side higher-order expressions per row (no
+    Python, no join), then one label-grain hash aggregate."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("label", F.col("embedding").cast("array<double>").alias("v"))
+        # one-file fixture = one input split; the per-element error
+        # fold is CPU-bound, so spread it (real corpora arrive in many
+        # splits and skip this)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # scale MUST be a materialized column, not an inlined expression:
+    # Catalyst inlines column expressions into higher-order lambdas, so
+    # an inline scale would re-run array_max(transform(v, abs)) for
+    # every element reference — O(dim^2) per row (the measured
+    # word_shingles_all trap; 20x here too).
+    scaled = emb.withColumn(
+        "scale", F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    )
+    scale = F.col("scale")
+    err = lambda x: x - scale * F.floor(x / scale + F.lit(0.5))  # noqa: E731
+    e2_e12 = lambda x: F.floor(F.lit(1e12) * err(x) * err(x)).cast(  # noqa: E731
+        "bigint"
+    )
+    sum_e2 = F.aggregate(
+        F.transform("v", e2_e12),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    with_err = scaled.select(
+        "label",
+        F.size("v").alias("dim"),
+        F.when(scale == 0.0, F.lit(0).cast("bigint"))
+        .otherwise(sum_e2)
+        .alias("err2_e12"),
+    )
+    return with_err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("err2_e12").cast("bigint").alias("sum_err2_e12"),
+        F.round(
+            F.sum("err2_e12").cast("double")
+            / 1e12
+            / F.sum("dim").cast("double"),
+            12,
+        ).alias("mse_per_dim"),
+    )
+
+
+_SQ8_SQL = """
+WITH q AS (
+  SELECT label, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+), e AS (
+  SELECT label, len(v) AS dim,
+         CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(list_sum(list_transform(v,
+                x -> CAST(FLOOR(1e12 * (x - scale * FLOOR(x / scale + 0.5))
+                                    * (x - scale * FLOOR(x / scale + 0.5)))
+                          AS BIGINT))) AS BIGINT)
+         END AS err2_e12
+  FROM q
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(err2_e12) AS BIGINT) AS sum_err2_e12,
+       ROUND(CAST(SUM(err2_e12) AS DOUBLE) / 1e12
+             / CAST(SUM(dim) AS DOUBLE), 12) AS mse_per_dim
+FROM e GROUP BY label
+"""
+
+
 _REGISTRY = {
     "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
+    "hard_negative_mining": (hard_negative_mining, _HARD_NEG_SQL),
+    "embedding_sq8_census": (embedding_sq8_census, _SQ8_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _emb_cosine_sql()),
     "q_events_asof_join": (q_events_asof_join, _ASOF_SQL),
     "q_events_range_join": (q_events_range_join, _RANGE_JOIN_SQL),

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_int, tokens_col
-from .common import _docs_par
+from .common import _STOP_SQL, _docs_par
 
 # Reference subset: a deterministic ~1/7 slice of the corpus stands in
 # for the trusted LM training set (CCNet uses Wikipedia). Mirrored
@@ -885,8 +885,187 @@ QUALIFY rank <= {PROBE_TOPK}""")
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Quality x perplexity contingency — do the two filters agree?
+# ---------------------------------------------------------------------------
+
+
+def quality_ppl_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-agreement audit: the 2x2 contingency between the
+    C4-style quality gate and the perplexity signal (doc NLL below
+    the corpus mean = 'head'). A mix designer reads this table to see
+    whether the heuristic gate and the LM gate select the same
+    documents or complement each other — the standard sanity check
+    before stacking both in a funnel.
+
+    'Below the corpus mean' is decided by EXACT integer cross-
+    multiplication — sum_nll_e6 * total_bigrams < total_nll_e6 *
+    n_bigrams — through DECIMAL(38,0)/HUGEINT, so no double division
+    exists and no quantization boundary can disagree across engines.
+    Scope: documents with at least one bigram (the only ones the LM
+    scores), same as lm_perplexity_score.
+
+    Scale shape: reuses the lm_perplexity_score plan (broadcast LM);
+    the corpus total is a one-row broadcast; the quality flag is
+    map-side over the token array; one 4-row hash aggregate ends it."""
+    scored = lm_perplexity_score(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "sum_nll_e6"
+    )
+    tot = scored.agg(
+        F.sum("sum_nll_e6").cast("decimal(38,0)").alias("tot_nll"),
+        F.sum("n_bigrams").cast("decimal(38,0)").alias("tot_bg"),
+    )
+    docs = _docs_par(spark, sf_dir)
+    w = tokens_col("text")
+    flags = docs.select(
+        "doc_id",
+        c4_quality_keep(w).alias("quality_pass"),
+        F.size(w).cast("bigint").alias("n_tokens"),
+    )
+    ppl_head = (
+        F.col("sum_nll_e6").cast("decimal(38,0)") * F.col("tot_bg")
+        < F.col("tot_nll") * F.col("n_bigrams").cast("decimal(38,0)")
+    )
+    return (
+        scored.join(flags, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("quality_pass", ppl_head.alias("ppl_head"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+_CONTINGENCY_SQL = f"""
+WITH scored_full AS ({_PPL_SQL}),
+scored AS (SELECT doc_id, n_bigrams, sum_nll_e6 FROM scored_full),
+tot AS (
+  SELECT CAST(SUM(sum_nll_e6) AS HUGEINT) AS tot_nll,
+         CAST(SUM(n_bigrams) AS HUGEINT) AS tot_bg
+  FROM scored
+),
+flags AS (
+  SELECT doc_id,
+         (len(w) >= 50
+          AND CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+              / len(w) >= 3.0
+          AND CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+              / len(w) <= 10.0
+          AND CAST(len(list_filter(w, t -> list_contains([{{stop}}],
+                                                         lower(t))))
+              AS DOUBLE) / len(w) >= 0.05) AS quality_pass,
+         CAST(len(w) AS BIGINT) AS n_tokens
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+  )
+)
+SELECT quality_pass,
+       (CAST(sum_nll_e6 AS HUGEINT) * tot_bg
+        < tot_nll * CAST(n_bigrams AS HUGEINT)) AS ppl_head,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM scored JOIN flags USING (doc_id) CROSS JOIN tot
+GROUP BY 1, 2
+""".replace("{stop}", _STOP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: top bigrams by lift
+# ---------------------------------------------------------------------------
+
+# Bigrams below this corpus count are noise for association ranking.
+LIFT_MIN_COUNT = 5
+LIFT_TOP_K = 30
+
+
+def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-``LIFT_TOP_K`` bigrams by lift
+    P(w1 w2) / (P(w1) P(w2)) among bigrams seen at least
+    ``LIFT_MIN_COUNT`` times — the classic multi-word-expression /
+    tokenizer-merge-candidate signal (PMI without the ln, so the
+    score itself stays integer-exact).
+
+    Cross-engine determinism: lift is computed as the exact-integer
+    ratio (n_xy * N) / (n_x * n_y) — at oracle scale both products are
+    exact BIGINTs < 2^53, so their double quotient is identical IEEE
+    rounding in both engines — then floored to micro-units. Ties
+    broken on (w1, w2), so the top-k SET is total-order deterministic.
+    (Beyond ~2^53 total tokens the quotient is merely deterministic
+    per engine, which is all the ranking itself needs.)
+
+    Scale shape: unigram and bigram counts are hash aggregates with
+    map-side combine; the min-count filter shrinks the candidate set
+    by orders of magnitude BEFORE any join, and the survivors (not
+    the vocabulary-sized unigram table) are the broadcast side of the
+    two count lookups. The final top-k is an order-limit (TakeOrdered),
+    never a full sort."""
+    bg = _corpus_bigrams(spark, sf_dir)
+    uni = (
+        _docs_par(spark, sf_dir)
+        .select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    surv = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= LIFT_MIN_COUNT)
+    )
+    c1 = uni.join(
+        F.broadcast(surv.select("w1").distinct()),
+        uni.w == F.col("w1"),
+    ).select("w1", F.col("c").alias("n_x"))
+    c2 = uni.join(
+        F.broadcast(surv.select("w2").distinct()),
+        uni.w == F.col("w2"),
+    ).select("w2", F.col("c").alias("n_y"))
+    lift_e6 = F.floor(
+        F.lit(1e6)
+        * (F.col("n_xy") * F.col("n")).cast("double")
+        / (F.col("n_x") * F.col("n_y")).cast("double")
+    ).cast("bigint")
+    return (
+        surv.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select("w1", "w2", "n_xy", "n_x", "n_y", lift_e6.alias("lift_e6"))
+        .orderBy(F.desc("lift_e6"), "w1", "w2")
+        .limit(LIFT_TOP_K)
+    )
+
+
+_LIFT_SQL = f"""
+WITH {_BIGRAM_CTE},
+uni AS (
+  SELECT w1 AS w, COUNT(*) AS c FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w1
+    FROM documents
+  ) GROUP BY 1
+),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+surv AS (
+  SELECT w1, w2, COUNT(*) AS n_xy FROM bgf GROUP BY 1, 2
+  HAVING COUNT(*) >= {LIFT_MIN_COUNT}
+)
+SELECT s.w1, s.w2, CAST(s.n_xy AS BIGINT) AS n_xy,
+       CAST(u1.c AS BIGINT) AS n_x, CAST(u2.c AS BIGINT) AS n_y,
+       CAST(FLOOR(1e6 * CAST(s.n_xy * t.n AS DOUBLE)
+                  / CAST(u1.c * u2.c AS DOUBLE)) AS BIGINT) AS lift_e6
+FROM surv s
+JOIN uni u1 ON u1.w = s.w1
+JOIN uni u2 ON u2.w = s.w2
+CROSS JOIN total t
+ORDER BY lift_e6 DESC, s.w1, s.w2
+LIMIT {LIFT_TOP_K}
+"""
+
+
 _REGISTRY = {
     "lm_perplexity_score": (lm_perplexity_score, _PPL_SQL),
+    "bigram_lift_topk": (bigram_lift_topk, _LIFT_SQL),
+    "quality_ppl_contingency": (quality_ppl_contingency, _CONTINGENCY_SQL),
     "linear_probe_train": (linear_probe_train, _probe_sql()),
     "dsir_importance_weights": (dsir_importance_weights, _DSIR_SQL),
     "ppl_bucket_census": (ppl_bucket_census, _PPL_BUCKET_SQL),

@@ -440,8 +440,160 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
+# ---------------------------------------------------------------------------
+# Ordered event funnel + retention cohorts
+# ---------------------------------------------------------------------------
+
+# The funnel's per-step conversion horizon.
+FUNNEL_HORIZON_DAYS = 7
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel view -> click -> purchase: a user
+    converts a step only with an event STRICTLY AFTER the previous
+    step's first completion and within ``FUNNEL_HORIZON_DAYS`` of it —
+    the product-analytics shape (sequence constraint, not mere
+    event-type membership) that a bag-of-events GROUP BY cannot
+    express.
+
+    Plan: each step is a conditional MIN over the same user window, so
+    the whole funnel is ONE user_id shuffle feeding three chained
+    Window nodes (same partitioning — Catalyst reuses the exchange),
+    then a distinct per-user row and a single global rollup. No
+    self-joins, no per-step passes over the event log.
+
+    Determinism: microsecond-timestamp comparisons and interval
+    arithmetic only — no floats anywhere."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    horizon = F.expr(f"INTERVAL {FUNNEL_HORIZON_DAYS} DAYS")
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    s1 = ev.withColumn("t_view", first_view)
+    first_click = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + horizon),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.withColumn("t_click", first_click)
+    first_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + horizon),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        s2.withColumn("t_buy", first_purchase)
+        .select("user_id", "t_view", "t_click", "t_buy")
+        .distinct()
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("bigint")).alias("n_view"),
+        F.sum(F.col("t_click").isNotNull().cast("bigint")).alias(
+            "n_view_click"
+        ),
+        F.sum(F.col("t_buy").isNotNull().cast("bigint")).alias(
+            "n_view_click_purchase"
+        ),
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), s2 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND ts > t_view
+                   AND ts <= t_view + INTERVAL {FUNNEL_HORIZON_DAYS} DAYS
+                  THEN ts END)
+           OVER (PARTITION BY user_id) AS t_click
+  FROM s
+), s3 AS (
+  SELECT DISTINCT user_id, t_view, t_click,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+                   AND ts <= t_click + INTERVAL {FUNNEL_HORIZON_DAYS} DAYS
+                  THEN ts END)
+           OVER (PARTITION BY user_id) AS t_buy
+  FROM s2
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click,
+       CAST(SUM(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click_purchase
+FROM (SELECT DISTINCT user_id, t_view, t_click, t_buy FROM s3)
+"""
+
+
+# Retention matrix horizon (day offsets reported per cohort).
+RETENTION_MAX_OFFSET = 7
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by FIRST-activity day
+    (the cohort), counted as active on each later day-offset up to
+    ``RETENTION_MAX_OFFSET`` — the activation/retention table behind
+    every 'day-N retention' metric.
+
+    Plan: ONE user_id hash aggregate collapses each user to their
+    distinct active-day set (bounded by the calendar, not event
+    volume — collect_set dedups map-side), the cohort day is
+    array_min over it, and one (cohort, offset) aggregate ends it —
+    two exchanges total, no window, no sort (a distinct-then-window
+    formulation costs a third exchange because the distinct key
+    (user, day) is wider than the window key). datediff on DATEs
+    only — exact in both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set("d").alias("days")
+    )
+    tagged = per_user.select(
+        "user_id",
+        F.array_min("days").alias("cohort_day"),
+        F.explode("days").alias("d"),
+    )
+    off = F.datediff("d", "cohort_day")
+    return (
+        tagged.filter(off <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort_day", off.alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+_RETENTION_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), tagged AS (
+  SELECT user_id, d,
+         MIN(d) OVER (PARTITION BY user_id) AS cohort_day
+  FROM days
+)
+SELECT cohort_day, datediff('day', cohort_day, d) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM tagged
+WHERE datediff('day', cohort_day, d) <= {RETENTION_MAX_OFFSET}
+GROUP BY 1, 2
+"""
+
+
 _REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "q_event_funnel": (q_event_funnel, _FUNNEL_SQL),
+    "q_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
     "q_top_customers": (q_top_customers, _TOP_CUST_SQL),
     "q_nation_revenue": (q_nation_revenue, _NATION_REV_SQL),
     "q_customers_without_orders": (q_customers_without_orders, _ANTI_SQL),

@@ -1028,8 +1028,171 @@ FROM per CROSS JOIN leaks
 """
 
 
+# ---------------------------------------------------------------------------
+# Charset-sniff census over raw page bytes
+# ---------------------------------------------------------------------------
+
+
+def page_encoding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset census of the raw crawl: which codec the deterministic
+    sniff (algo.encoding — BOM, meta charset, utf-8 attempt, latin-1
+    fallback) actually uses per page, with page/url counts — the
+    drives-the-decode-stage number a crawl profile reports, and the
+    standalone driver gate for the sniffer that otherwise only runs
+    inline inside extract_pages.
+
+    Scale shape: one pruned mapInPandas Arrow kernel over (url,
+    warc_ts, html) emitting fixed-width rows (bytes never re-cross
+    Arrow), then a codec-grain hash aggregate with map-side combine.
+
+    Oracle strength: the twin derives the EXPECTED codec per page from
+    the synth template rule (variant 12 declares iso-8859-1 and is
+    latin-1-encoded; every other variant declares utf-8), so a sniffer
+    that ignores the meta tag or mis-decodes fails the check."""
+    from ..operators.textstats import sniff_codec_stats
+    from ..sources.readers import pages_df
+
+    pages = pages_df(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    stats = sniff_codec_stats(pages)
+    return stats.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.count_distinct("url").alias("n_urls"),
+    )
+
+
+def _encoding_sql() -> str:
+    from ..sources.synth import SECOND_CRAWL_MOD, SECOND_CRAWL_REM
+
+    # Mirrors sources/synth.py _html_for: variant 12 ships latin-1
+    # bytes behind an iso-8859-1 meta tag, everything else utf-8
+    # (declared AND valid). The twin derives expected codecs from
+    # `documents` alone — the html bytes exist only Spark-side, so a
+    # byte-total column would force the twin to re-implement the
+    # templates; counts are the honest check.
+    return f"""
+WITH pages AS (
+  SELECT doc_id, doc_id % 16 AS variant FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id % 16 + 2) % 16 FROM documents
+  WHERE doc_id % {SECOND_CRAWL_MOD} = {SECOND_CRAWL_REM}
+)
+SELECT CASE WHEN variant = 12 THEN 'latin-1' ELSE 'utf-8' END AS codec,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT doc_id) AS n_urls
+FROM pages GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation per link target
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE = '<a href="([^"]*)">([^<]*)</a>'
+
+
+def anchor_text_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation: for every link TARGET, the anchor
+    strings pointing at it and how many pages/links carry each — the
+    web-IR signal (anchor text describes the target better than the
+    target describes itself) that feeds query-independent doc priors
+    and WebText-style 'linked-with-informative-anchor' filters.
+
+    Extraction is PAIRED: href and inner text must come from the SAME
+    anchor element, so a single-group href pass (outlink_path_census)
+    can't produce it. The whole-match array (``regexp_extract_all``
+    group 0) is re-matched per element with ``transform`` — all JVM
+    higher-order expressions, no Python.
+
+    Scale shape: map-side regex over the html bytes, then ONE
+    (path, anchor) hash aggregate — html never shuffles, only the
+    exploded (path, anchor, page-identity) rows do.
+
+    Oracle strength: the DuckDB twin counts the EXPECTED (path,
+    anchor) pairs straight from the synth template rules (variant
+    multiplicities + second-crawl shift), so it catches a wrong
+    extractor, not a differently-wrong pair."""
+    from ..sources.readers import pages_df
+
+    pages = pages_df(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    matches = F.regexp_extract_all(
+        F.col("html").cast("string"), F.lit(_ANCHOR_RE), 0
+    )
+    pairs = F.transform(
+        matches,
+        lambda m: F.struct(
+            F.regexp_extract(m, _ANCHOR_RE, 1).alias("path"),
+            F.regexp_extract(m, _ANCHOR_RE, 2).alias("anchor"),
+        ),
+    )
+    links = pages.select(
+        "url", "warc_ts", F.explode(pairs).alias("a")
+    ).select("url", "warc_ts", "a.path", "a.anchor")
+    return links.groupBy("path", "anchor").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct("url", "warc_ts").alias("n_pages"),
+    )
+
+
+def _anchor_sql() -> str:
+    from ..sources.synth import SECOND_CRAWL_MOD, SECOND_CRAWL_REM
+
+    # Per-variant (path, anchor, multiplicity) of the synth templates:
+    # every page carries the nav (5 anchors) + footer (2); variants add
+    # their own. Mirrors sources/synth.py _html_for / _NAV / _SIDEBAR /
+    # _FOOTER — the same intent rules as _outlink_sql, extended with
+    # the anchor string each template binds to its path.
+    universal = [
+        ("/", "portal"), ("/news", "newsfeed"), ("/contact", "contact"),
+        ("/login", "login"), ("/subscribe", "subscribe"),
+        ("/terms", "terms"), ("/privacy", "privacy"),
+    ]
+    extras = [
+        (1, "/a", "archive index", 4),
+        (5, "/x", "gallery teaser snippet", 12),
+        (8, "/promo", "promo banner", 2),
+        (8, "/trending", "trending widget", 2),
+        (8, "/cookie", "cookie notice", 2),
+        (14, "/go", "submit entry", 1),
+        (15, "/promo", "promo banner", 2),
+        (15, "/trending", "trending widget", 2),
+        (15, "/cookie", "cookie notice", 2),
+    ]
+    uni_rows = ", ".join(f"('{p}', '{a}')" for p, a in universal)
+    ex_rows = ", ".join(f"({v}, '{p}', '{a}', {m})" for v, p, a, m in extras)
+    return f"""
+WITH pages AS (
+  SELECT doc_id % 16 AS variant FROM documents
+  UNION ALL
+  SELECT (doc_id % 16 + 2) % 16 FROM documents
+  WHERE doc_id % {SECOND_CRAWL_MOD} = {SECOND_CRAWL_REM}
+), vc AS (
+  SELECT variant, COUNT(*) AS n FROM pages GROUP BY 1
+), uni AS (
+  SELECT u.path, u.anchor, SUM(vc.n) AS n_links, SUM(vc.n) AS n_pages
+  FROM vc CROSS JOIN (VALUES {uni_rows}) u(path, anchor)
+  GROUP BY 1, 2
+), ex AS (
+  SELECT m.path, m.anchor, SUM(vc.n * m.mult) AS n_links,
+         SUM(vc.n) AS n_pages
+  FROM vc JOIN (VALUES {ex_rows}) m(variant, path, anchor, mult)
+    USING (variant)
+  GROUP BY 1, 2
+)
+SELECT path, anchor, CAST(SUM(n_links) AS BIGINT) AS n_links,
+       CAST(SUM(n_pages) AS BIGINT) AS n_pages
+FROM (SELECT * FROM uni UNION ALL SELECT * FROM ex)
+GROUP BY path, anchor
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
+    "anchor_text_census": (anchor_text_census, _anchor_sql()),
+    "page_encoding_census": (page_encoding_census, _encoding_sql()),
     "pii_redaction": (pii_redaction, _PII_SQL),
     "unicode_nfc_census": (unicode_nfc_census, _NFC_SQL),
     "leakage_safe_split_census": (leakage_safe_split_census, _SPLIT_SQL),

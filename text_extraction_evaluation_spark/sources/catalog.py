@@ -163,21 +163,34 @@ class LocalCatalog:
 
         ``as_of=k`` reads the table AS OF its k-th commit (time travel
         on commit order — the LocalCatalog analogue of Iceberg's
-        ``VERSION AS OF``): only the first k chunks by commit timestamp
-        are visible, exactly what a reader at that point saw, because
-        the manifest is replaced atomically per commit."""
-        chunks = self.committed_chunks(table)
-        if not chunks:
+        ``VERSION AS OF``): only chunks committed by version k AND not
+        retired by a compaction at or before version k are visible —
+        exactly what a reader at that point saw, because the manifest
+        is replaced atomically per commit. Pre-compaction versions
+        read the original chunks until ``expire_retired``."""
+        ordered = self._ordered_chunks(table)
+        if as_of is None:
+            vis = [c for c, _eff in ordered if "retired_seq" not in c]
+        else:
+            vis = [
+                c
+                for c, eff in ordered
+                if eff <= as_of and c.get("retired_seq", as_of + 1) > as_of
+            ]
+        if not vis:
             return None
+        return spark.read.parquet(*[c["path"] for c in vis])
+
+    def _ordered_chunks(self, table: str) -> list[tuple[dict[str, Any], int]]:
+        """Committed chunks in commit order, each with its EFFECTIVE
+        version number: the stored monotonic ``seq``, or the 1-based
+        commit position for legacy manifests written before seq."""
+        chunks = self.committed_chunks(table)
         ordered = sorted(
             chunks.values(),
             key=lambda c: (c.get("seq", 0), c["committed_at_unix"]),
         )
-        if as_of is not None:
-            ordered = ordered[: max(0, as_of)]
-            if not ordered:
-                return None
-        return spark.read.parquet(*[c["path"] for c in ordered])
+        return [(c, c.get("seq", i + 1)) for i, c in enumerate(ordered)]
 
     def read_diff(
         self, spark: SparkSession, table: str, from_version: int, to_version: int
@@ -191,18 +204,115 @@ class LocalCatalog:
         comparison, no read of the earlier snapshot. This is the
         change-data feed a downstream consumer (index refresh,
         incremental dedup, mix rebuild) tails instead of re-reading
-        the table. Returns None if the window holds no chunks."""
+        the table. Compaction chunks are SKIPPED — a rewrite adds no
+        rows, so the feed must not replay them (Iceberg's incremental
+        append scan makes the same exclusion for replace snapshots).
+        Returns None if the window holds no chunks."""
         if to_version <= from_version:
             return None
-        chunks = self.committed_chunks(table)
-        ordered = sorted(
-            chunks.values(),
-            key=lambda c: (c.get("seq", 0), c["committed_at_unix"]),
-        )
-        window = ordered[max(0, from_version): max(0, to_version)]
+        window = [
+            c
+            for c, eff in self._ordered_chunks(table)
+            if from_version < eff <= to_version and "compacted_from" not in c
+        ]
         if not window:
             return None
         return spark.read.parquet(*[c["path"] for c in window])
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        chunk_id: str,
+        chunk_ids: list[str] | None = None,
+        n_output_files: int = 1,
+    ) -> bool:
+        """Rewrite committed chunks into one compacted chunk — the
+        LocalCatalog analogue of Iceberg's ``rewrite_data_files``
+        (small-file compaction). Long-running chunked jobs accrete many
+        small parquet dirs; readers pay per-file open cost, so
+        maintenance rewrites them into few large files WITHOUT changing
+        table contents or destroying history:
+
+        * the rewrite targets a FIXED chunk set (``chunk_ids``, default
+          = the chunks live when the call started) — chunks committed
+          concurrently with the rewrite are untouched and stay live;
+        * the swap is ONE atomic manifest replace: readers see either
+          all originals or the compacted chunk, never both;
+        * retired chunks keep their files and manifest entries (with
+          ``retired_seq``) so ``read(as_of=...)`` of pre-compaction
+          versions still works — until ``expire_retired`` (the
+          ``expire_snapshots`` analogue) reclaims them;
+        * ``read_diff`` skips compaction chunks: a rewrite adds no
+          rows, so the change-data feed must not replay them.
+
+        Returns False (no-op) when fewer than 2 target chunks exist or
+        the output chunk_id is taken."""
+        import shutil
+        import uuid
+
+        live = {
+            cid: c
+            for cid, c in self.committed_chunks(table).items()
+            if "retired_seq" not in c
+        }
+        targets = sorted(chunk_ids) if chunk_ids is not None else sorted(live)
+        targets = [cid for cid in targets if cid in live]
+        if len(targets) < 2 or chunk_id in self.committed_chunks(table):
+            return False
+        df = spark.read.parquet(*[live[cid]["path"] for cid in targets])
+        path = self.chunk_path(table, chunk_id)
+        staging = f"{path}.staging-{uuid.uuid4().hex}"
+        try:
+            df.coalesce(n_output_files).write.mode("overwrite").parquet(staging)
+            with self._commit_lock:
+                manifest = self._load_manifest(table)
+                if chunk_id in manifest["chunks"]:
+                    return False
+                # a target retired/vacuumed since the read started
+                # would make the rewrite stale — abort, caller retries
+                for cid in targets:
+                    c = manifest["chunks"].get(cid)
+                    if c is None or "retired_seq" in c:
+                        return False
+                shutil.rmtree(path, ignore_errors=True)
+                os.replace(staging, path)
+                seq = 1 + max(
+                    (c.get("seq", 0) for c in manifest["chunks"].values()),
+                    default=0,
+                )
+                for cid in targets:
+                    manifest["chunks"][cid]["retired_seq"] = seq
+                manifest["chunks"][chunk_id] = {
+                    "path": path,
+                    "seq": seq,
+                    "committed_at_unix": time.time(),
+                    "compacted_from": targets,
+                }
+                self._store_manifest(table, manifest)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return True
+
+    def expire_retired(self, table: str) -> list[str]:
+        """Drop retired (compacted-away) chunks: delete their data dirs
+        and manifest entries — the ``expire_snapshots`` analogue.
+        Pre-compaction ``as_of`` versions become unreadable (they
+        return the post-compaction visible set instead), exactly the
+        trade Iceberg makes. Returns the removed chunk paths."""
+        import shutil
+
+        removed: list[str] = []
+        with self._commit_lock:
+            manifest = self._load_manifest(table)
+            for cid in sorted(manifest["chunks"]):
+                if "retired_seq" in manifest["chunks"][cid]:
+                    c = manifest["chunks"].pop(cid)
+                    shutil.rmtree(c["path"], ignore_errors=True)
+                    removed.append(c["path"])
+            if removed:
+                self._store_manifest(table, manifest)
+        return removed
 
     def drop(self, table: str) -> None:
         import shutil
