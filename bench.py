@@ -243,6 +243,7 @@ def main() -> None:
         "mixture_temperature_plan",
         "q_event_funnel",
         "q_retention_cohorts",
+        "ann_pq_adc_topk",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

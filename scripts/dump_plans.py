@@ -235,6 +235,11 @@ def main() -> None:
          "aggregate to the distinct day set (cohort = array_min), "
          "then a (cohort, offset) aggregate — two exchanges, no "
          "window, no sort"),
+        ("ann_pq_adc_topk", "PQ/ADC scan: per-subspace k-means "
+         "codebooks broadcast; encoding is a map-side argmin (zero "
+         "shuffle); per-query LUTs collapse to one broadcast row and "
+         "ADC is an element_at fold — the only candidate exchange is "
+         "the final top-k window"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))

@@ -63,6 +63,7 @@ REPRESENTATIVE = [
     "mixture_temperature_plan",
     "q_event_funnel",
     "q_retention_cohorts",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -1210,8 +1210,276 @@ FROM e GROUP BY label
 """
 
 
+# -- Product quantization (PQ) ANN with asymmetric distance ----------------
+# Jégou, Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI) — the codebook/ADC design every 100-TB-scale vector
+# index (FAISS IVF-PQ, ScaNN) builds on. Dim-64 vectors split into
+# PQ_M=4 subspaces of PQ_SUB=16 dims; a k-means codebook (PQ_KS
+# centroids) is trained PER SUBSPACE, each vector compresses to 4
+# small codes, and a query scores candidates by summing per-subspace
+# LOOKUP-TABLE distances (ADC) instead of touching raw vectors.
+PQ_M = 4
+PQ_SUB = 16
+PQ_KS = 8
+PQ_ITERS = 2
+
+
+def _pq_sq_dist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sqv): each embedding quantized to integers
+    (floor(x*1e6) — exact cross-engine arithmetic, same rule as
+    kmeans_embeddings) and split map-side into PQ_M subvectors."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = F.transform("v", lambda x: F.floor(x * 1e6).cast("bigint"))
+    return emb.select("vec_id", qv.alias("qv")).select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), i -> struct("
+                f"cast(i as int) as m, slice(qv, i * {PQ_SUB} + 1, {PQ_SUB}) as sqv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sqv").alias("sqv"))
+
+
+def _pq_codebooks(subs: DataFrame, ks: int = PQ_KS, iters: int = PQ_ITERS) -> DataFrame:
+    """Per-subspace Lloyd's k-means — the kmeans_embeddings recipe run
+    over ALL subspaces at once by carrying ``m`` through the keys: one
+    (m, cell, d) shuffle per iteration, assignment a map-side broadcast
+    argmin, exact integer arithmetic throughout. Init = subvectors of
+    the first ``ks`` embeddings. Returns (m, cid, cq)."""
+    cent = subs.filter(F.col("vec_id") < ks).select(
+        "m", F.col("vec_id").cast("int").alias("cid"), F.col("sqv").alias("cq")
+    )
+    for _ in range(iters):
+        cent_arr = cent.select(F.struct("m", "cid", "cq").alias("c")).agg(
+            F.array_sort(F.collect_list("c")).alias("cents")
+        )
+        scored = F.transform(
+            F.filter(F.col("cents"), lambda c: c["m"] == F.col("m")),
+            lambda c: F.struct(
+                _pq_sq_dist(F.col("sqv"), c["cq"]).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        assigned = subs.join(F.broadcast(cent_arr)).withColumn(
+            "cell", F.element_at(F.array_sort(scored), 1)["cid"]
+        )
+        cent = (
+            assigned.select("m", "cell", F.posexplode("sqv").alias("d", "q"))
+            .groupBy("m", "cell", "d")
+            .agg(F.expr("sum(q) div count(1)").alias("cq"))
+            .groupBy("m", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cq"))),
+                    lambda p: p["cq"],
+                ).alias("cq")
+            )
+            .select("m", F.col("cell").cast("int").alias("cid"), "cq")
+        )
+    return cent
+
+
+def ann_pq_adc_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, topk: int = 5
+) -> DataFrame:
+    """PQ compression + asymmetric-distance top-k (the FAISS-style PQ
+    scan). Three stages, each in its at-scale shape:
+
+    1. codebooks: per-subspace k-means (`_pq_codebooks`) — tiny result
+       (PQ_M*PQ_KS rows), broadcast everywhere below;
+    2. encode: every vector maps to PQ_M codes via a broadcast argmin —
+       ZERO shuffle, and at 10^9 rows the codes table is ~100x smaller
+       than the raw vectors (the entire point of PQ);
+    3. ADC scan: per-query lookup tables (n_queries*PQ_M*PQ_KS rows)
+       are built from the query subvectors, reshaped into ONE broadcast
+       row of nested arrays, and each candidate's distance is a pure
+       map-side array lookup + fold — the only exchange in the whole
+       scan is the final per-query top-k window. Production composes
+       stage 3 with the IVF cell filter (ann_ivf_kmeans_topk) to bound
+       candidates; the full scan here is the stated-exhaustive variant.
+
+    Distances are exact integer arithmetic end to end (quantized
+    subvectors, integer LUT entries), so Spark and DuckDB agree
+    bitwise; ties break on neighbor_id. Emits
+    (query_id, neighbor_id, nn_rank, adc_dist_q)."""
+    subs = _pq_subvectors(spark, sf_dir)
+    cent = _pq_codebooks(subs)
+    cent_arr = cent.select(F.struct("m", "cid", "cq").alias("c")).agg(
+        F.array_sort(F.collect_list("c")).alias("cents")
+    )
+
+    # per-query LUT: distance from each query subvector to every
+    # centroid of its subspace, ordered by cid (cents is sorted, so
+    # transform() yields the cid-indexed list directly)
+    per_qm = subs.filter(F.col("vec_id") < n_queries).join(F.broadcast(cent_arr)).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        F.transform(
+            F.filter(F.col("cents"), lambda c: c["m"] == F.col("m")),
+            lambda c: _pq_sq_dist(F.col("sqv"), c["cq"]),
+        ).alias("lut_m"),
+    )
+    luts_row = (
+        per_qm.groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "lut_m"))),
+                lambda p: p["lut_m"],
+            ).alias("lut_q")
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("query_id", "lut_q"))).alias("luts"))
+    )
+
+    # encode: map-side argmin per subspace against the broadcast
+    # codebooks; one array<int> of PQ_M codes per vector, no shuffle
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = emb.select(
+        "vec_id",
+        F.transform("v", lambda x: F.floor(x * 1e6).cast("bigint")).alias("qv"),
+    )
+    codes_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda i: F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.filter(F.col("cents"), lambda c: c["m"] == i),
+                    lambda c: F.struct(
+                        _pq_sq_dist(
+                            F.slice(F.col("qv"), i * PQ_SUB + 1, F.lit(PQ_SUB)), c["cq"]
+                        ).alias("dist"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )["cid"],
+    )
+    coded = (
+        base.join(F.broadcast(cent_arr))
+        .withColumn("codes", codes_expr)
+        .select("vec_id", "codes")
+    )
+
+    # ADC: for each (vector, query) pair, sum the LUT entry of each
+    # subspace's code — element_at lookups over the broadcast nested
+    # array, all inside whole-stage codegen; explode fans a vector row
+    # out to n_queries scored rows map-side
+    scored = (
+        coded.join(F.broadcast(luts_row))
+        .select("vec_id", "codes", F.explode("luts").alias("ql"))
+        .select(
+            F.col("ql.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                F.lit(0).cast("bigint"),
+                lambda acc, i: acc
+                + F.element_at(
+                    F.element_at(F.col("ql.lut_q"), i + F.lit(1)),
+                    F.element_at(F.col("codes"), i + F.lit(1)) + F.lit(1),
+                ),
+            ).alias("adc_dist_q"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= topk)
+        .select("query_id", "neighbor_id", "nn_rank", "adc_dist_q")
+    )
+
+
+def _pq_kmeans_ctes(
+    m: int = PQ_M, sub: int = PQ_SUB, ks: int = PQ_KS, iters: int = PQ_ITERS
+) -> str:
+    """Per-subspace k-means as unrolled CTEs (the kmeans_embeddings
+    oracle recipe with the subspace index carried through every key)."""
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, CAST(t.m AS INTEGER) AS m, s.d, qv[t.m * {sub} + s.d] AS q
+  FROM e, range(0, {m}) t(m), range(1, {sub + 1}) s(d)
+), c0 AS (
+  SELECT m, CAST(vec_id AS INTEGER) AS cid, d, q AS cq
+  FROM sub WHERE vec_id < {ks}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""", dist{i} AS (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.q - c.cq) * (s.q - c.cq)) AS dist
+  FROM sub s JOIN c{i - 1} c ON s.m = c.m AND s.d = c.d
+  GROUP BY 1, 2, 3
+), a{i} AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM dist{i}
+  ) WHERE rn = 1
+), c{i} AS (
+  SELECT a.m, a.cid, s.d, CAST(SUM(s.q) // COUNT(*) AS BIGINT) AS cq
+  FROM a{i} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY 1, 2, 3
+)""")
+    return "".join(parts)
+
+
+def _pq_adc_sql(
+    m: int = PQ_M, sub: int = PQ_SUB, ks: int = PQ_KS, iters: int = PQ_ITERS,
+    n_queries: int = 10, topk: int = 5,
+) -> str:
+    return _pq_kmeans_ctes(m, sub, ks, iters) + f""", cdist AS (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.q - c.cq) * (s.q - c.cq)) AS dist
+  FROM sub s JOIN c{iters} c ON s.m = c.m AND s.d = c.d
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+), lut AS (
+  SELECT vec_id AS query_id, m, cid, dist AS lut
+  FROM cdist WHERE vec_id < {n_queries}
+), adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id,
+         CAST(SUM(l.lut) AS BIGINT) AS adc_dist_q
+  FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.code
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+), top AS (
+  SELECT query_id, neighbor_id, adc_dist_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist_q, neighbor_id) AS nn_rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, nn_rank, adc_dist_q
+FROM top WHERE nn_rank <= {topk}
+"""
+
+
 _REGISTRY = {
     "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
+    "ann_pq_adc_topk": (ann_pq_adc_topk, _pq_adc_sql()),
     "hard_negative_mining": (hard_negative_mining, _HARD_NEG_SQL),
     "embedding_sq8_census": (embedding_sq8_census, _SQ8_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _emb_cosine_sql()),
