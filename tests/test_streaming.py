@@ -502,3 +502,87 @@ def test_stream_heavy_hitters_state_survives_restart(spark, tmp_path_factory):
             if est2 > true_half[t]:  # exceeds any single phase's max
                 grew += 1
     assert grew > 0
+
+
+def test_stream_stream_interval_join_equals_batch_twin(spark, tmp_path_factory):
+    """attribute_purchases_stream (stream-stream interval join) must
+    produce exactly the batch join's (click, purchase) pair set on an
+    ordered replay with a watermark wide enough to keep all state —
+    and the physical plan must be a StreamingSymmetricHashJoin (the
+    bounded-state join, not a nested loop)."""
+    import os
+
+    from text_extraction_evaluation_spark.streaming.stream import (
+        attribute_purchases_stream,
+    )
+
+    base = tmp_path_factory.mktemp("ssjoin")
+    src = base / "events"
+    src.mkdir()
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    events = spark.read.parquet(f"{SF0001}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    # batch twin: identical condition on static frames
+    clicks = events.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want_rows = (
+        clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 86400 SECONDS"
+            ),
+        )
+        .select("purchase_id", "click_id", "purchase_value")
+        .collect()
+    )
+    want = {(r["purchase_id"], r["click_id"]): r["purchase_value"] for r in want_rows}
+    assert len(want) > 10  # fixture must make the test non-trivial
+
+    # ordered replay: three generation files in event-time order
+    ranked = events.orderBy("ts").withColumn(
+        "gen", F.ntile(3).over(__import__("pyspark").sql.window.Window.orderBy("ts"))
+    )
+    for i in range(1, 4):
+        tmp = str(base / f"gen{i}")
+        ranked.filter(F.col("gen") == i).drop("gen").coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.endswith(".parquet") and p.startswith("part")
+        )
+        dst = src / f"{i:02d}.parquet"
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    joined = attribute_purchases_stream(
+        stream, attribution_window="24 hours", watermark="720 hours"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ops = [s["operatorName"] for s in (q.lastProgress or {}).get("stateOperators", [])]
+    assert "symmetricHashJoin" in ops, ops
+    got = {
+        (r["purchase_id"], r["click_id"]): r["purchase_value"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want

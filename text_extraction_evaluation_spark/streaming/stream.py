@@ -214,6 +214,64 @@ HH_STATE_SCHEMA = (
 )
 
 
+def attribute_purchases_stream(
+    events_stream: DataFrame,
+    attribution_window: str | int = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM interval join (the one Structured Streaming join
+    shape the other operators here don't exercise): click→purchase
+    attribution — every (click, purchase) pair for the same user where
+    the purchase lands within ``attribution_window`` AFTER the click.
+
+    Both sides carry an event-time watermark and the join condition is
+    equality on user plus a bounded time range, which is exactly what
+    Spark needs to run it as a StreamingSymmetricHashJoin with BOUNDED
+    state: a click can be evicted once the purchase-side watermark
+    passes click_ts + window, a purchase once the click-side watermark
+    passes purchase_ts — state never grows with stream length. At
+    scale both sides hash-partition on user_id, so each pair is
+    resolved executor-locally.
+
+    Same arrival-order contract as the sessionizer: rows later than
+    ``watermark`` behind max event time may be dropped/evicted, so
+    historical backfills belong to the batch twin (the identical join
+    on static DataFrames — tests/test_streaming.py asserts equality on
+    an ordered replay)."""
+    win_s = _parse_interval_ms(attribution_window) // 1000
+    clicks = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = F.expr(
+        "user_id = p_user AND purchase_ts >= click_ts "
+        f"AND purchase_ts <= click_ts + INTERVAL {win_s} SECONDS"
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def heavy_hitters_stream(
     terms_stream: DataFrame, capacity: int = 16, groups: int = 8
 ) -> DataFrame:
