@@ -244,6 +244,7 @@ def main() -> None:
         "q_event_funnel",
         "q_retention_cohorts",
         "ann_pq_adc_topk",
+        "ann_ivfpq_topk",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

@@ -240,6 +240,11 @@ def main() -> None:
          "shuffle); per-query LUTs collapse to one broadcast row and "
          "ADC is an element_at fold — the only candidate exchange is "
          "the final top-k window"),
+        ("ann_ivfpq_topk", "IVF-PQ: coarse cell + residual via one "
+         "broadcast argmin; residual PQ codebooks shared across "
+         "cells; candidates meet per-(query,cell) LUTs in a broadcast "
+         "equi-join on cell — work is O(n*nprobe/k), one top-k "
+         "exchange"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))

@@ -64,6 +64,7 @@ REPRESENTATIVE = [
     "q_event_funnel",
     "q_retention_cohorts",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
 ]
 
 

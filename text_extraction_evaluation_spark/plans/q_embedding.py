@@ -1233,6 +1233,40 @@ def _pq_sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def _pq_codes_expr(vec_col: str) -> Column:
+    """PQ encode as a pure expression: given a bigint-array column and
+    the broadcast ``cents`` array (from _pq_codebooks), the argmin
+    centroid id per subspace — map-side, no shuffle. Shared by the
+    flat PQ scan and the IVF-PQ residual variant."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda i: F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.filter(F.col("cents"), lambda c: c["m"] == i),
+                    lambda c: F.struct(
+                        _pq_sq_dist(
+                            F.slice(F.col(vec_col), i * PQ_SUB + 1, F.lit(PQ_SUB)),
+                            c["cq"],
+                        ).alias("dist"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )["cid"],
+    )
+
+
+def _pq_split_expr(vec_col: str) -> Column:
+    """Map-side subspace split: bigint array -> array of
+    struct(m, sqv) with PQ_M slices of PQ_SUB dims."""
+    return F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), i -> struct("
+        f"cast(i as int) as m, slice({vec_col}, i * {PQ_SUB} + 1, {PQ_SUB}) as sqv))"
+    )
+
+
 def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, m, sqv): each embedding quantized to integers
     (floor(x*1e6) — exact cross-engine arithmetic, same rule as
@@ -1242,13 +1276,7 @@ def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = F.transform("v", lambda x: F.floor(x * 1e6).cast("bigint"))
     return emb.select("vec_id", qv.alias("qv")).select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {PQ_M - 1}), i -> struct("
-                f"cast(i as int) as m, slice(qv, i * {PQ_SUB} + 1, {PQ_SUB}) as sqv))"
-            )
-        ).alias("s"),
+        "vec_id", F.explode(_pq_split_expr("qv")).alias("s")
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sqv").alias("sqv"))
 
 
@@ -1351,26 +1379,9 @@ def ann_pq_adc_topk(
         "vec_id",
         F.transform("v", lambda x: F.floor(x * 1e6).cast("bigint")).alias("qv"),
     )
-    codes_expr = F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        lambda i: F.element_at(
-            F.array_sort(
-                F.transform(
-                    F.filter(F.col("cents"), lambda c: c["m"] == i),
-                    lambda c: F.struct(
-                        _pq_sq_dist(
-                            F.slice(F.col("qv"), i * PQ_SUB + 1, F.lit(PQ_SUB)), c["cq"]
-                        ).alias("dist"),
-                        c["cid"].alias("cid"),
-                    ),
-                )
-            ),
-            1,
-        )["cid"],
-    )
     coded = (
         base.join(F.broadcast(cent_arr))
-        .withColumn("codes", codes_expr)
+        .withColumn("codes", _pq_codes_expr("qv"))
         .select("vec_id", "codes")
     )
 

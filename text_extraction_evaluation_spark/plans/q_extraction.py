@@ -31,7 +31,17 @@ from .common import (  # noqa: F401 — shared helpers + SQL fragments
     _docs_par,
     _t,
 )
-from .q_embedding import _emb_with_norm, _ivf_probe, sign_lsh_bits  # noqa: F401
+from .q_embedding import (  # noqa: F401
+    PQ_M,
+    PQ_SUB,
+    _emb_with_norm,
+    _ivf_probe,
+    _pq_codebooks,
+    _pq_codes_expr,
+    _pq_split_expr,
+    _pq_sq_dist,
+    sign_lsh_bits,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -651,6 +661,238 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = cent.withColumn("cn", cn)
     return _ivf_probe(base, cent, nprobe=2, topk=3, n_queries=10)
+
+
+# IVF-PQ (Jégou et al. 2011 §IV): coarse k-means cells + a product
+# quantizer trained on RESIDUALS (vector minus its cell centroid),
+# shared across cells — the FAISS IVFPQ index layout. Small parameters
+# keep the unrolled oracle CTE chain tractable; the Spark plan is the
+# real 10^9-vector shape.
+IVFPQ_COARSE_K = 4
+IVFPQ_COARSE_ITERS = 2
+IVFPQ_NPROBE = 2
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, topk: int = 5
+) -> DataFrame:
+    """The full IVF-PQ composition the flat PQ scan (ann_pq_adc_topk)
+    and the IVF probe (ann_ivf_kmeans_topk) each stub one half of:
+
+    1. coarse quantizer: integer-exact k-means over full vectors
+       (`_kmeans_centroids`); every vector gets its cell + RESIDUAL via
+       one broadcast argmin — map-side, zero shuffle;
+    2. product quantizer: per-subspace k-means over the residuals
+       (codebooks shared across cells, the classic IVFPQ layout);
+       encoding is again a broadcast argmin — the stored index is
+       (vec_id, cell, 4 codes), ~100x smaller than raw vectors;
+    3. query: probe the NPROBE nearest cells, build one ADC lookup
+       table per (query, probed cell) from the query's residual in
+       that cell, and score ONLY candidates in probed cells via a
+       broadcast equi-join on cell — candidate work is
+       O(n * nprobe / k), never a full scan, and the sole exchange is
+       the final top-k window.
+
+    Integer-exact end to end (quantized vectors, integer residuals and
+    LUTs; Spark `div` and DuckDB `//` both truncate toward zero), so
+    the oracle matches bitwise. Emits
+    (query_id, neighbor_id, nn_rank, adc_dist_q)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1e6).cast("bigint"),
+        ).alias("qv"),
+    )
+    coarse = _kmeans_centroids(
+        spark, sf_dir, k=IVFPQ_COARSE_K, iters=IVFPQ_COARSE_ITERS
+    )
+    coarse_arr = coarse.select(F.struct("cid", "cq").alias("c")).agg(
+        F.array_sort(F.collect_list("c")).alias("coarse")
+    )
+    cell_scored = F.transform(
+        F.col("coarse"),
+        lambda c: F.struct(
+            _pq_sq_dist(F.col("qv"), c["cq"]).alias("dist"),
+            c["cid"].alias("cid"),
+            c["cq"].alias("cq"),
+        ),
+    )
+    best = F.element_at(F.array_sort(cell_scored), 1)
+    with_cell = emb.join(F.broadcast(coarse_arr)).select(
+        "vec_id",
+        "qv",
+        best["cid"].alias("cell"),
+        F.zip_with("qv", best["cq"], lambda a, b: a - b).alias("rv"),
+    )
+
+    subs = with_cell.select(
+        "vec_id", F.explode(_pq_split_expr("rv")).alias("s")
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sqv").alias("sqv"))
+    cents_arr = (
+        _pq_codebooks(subs)
+        .select(F.struct("m", "cid", "cq").alias("c"))
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    codes = (
+        with_cell.join(F.broadcast(cents_arr))
+        .withColumn("codes", _pq_codes_expr("rv"))
+        .select("vec_id", "cell", "codes")
+    )
+
+    # probes: top-NPROBE cells per query, with the query's residual in
+    # each probed cell; then the nested [m][cid] LUT per (query, cell)
+    probes = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(coarse_arr))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "qv",
+            F.explode(
+                F.slice(F.array_sort(cell_scored), 1, IVFPQ_NPROBE)
+            ).alias("p"),
+        )
+        .select(
+            "query_id",
+            F.col("p.cid").alias("cell"),
+            F.zip_with("qv", F.col("p.cq"), lambda a, b: a - b).alias("rvq"),
+        )
+    )
+    lut = probes.join(F.broadcast(cents_arr)).select(
+        "query_id",
+        "cell",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda i: F.transform(
+                F.filter(F.col("cents"), lambda c: c["m"] == i),
+                lambda c: _pq_sq_dist(
+                    F.slice(F.col("rvq"), i * PQ_SUB + 1, F.lit(PQ_SUB)), c["cq"]
+                ),
+            ),
+        ).alias("lut_q"),
+    )
+
+    scored = (
+        codes.join(F.broadcast(lut), "cell")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                F.lit(0).cast("bigint"),
+                lambda acc, i: acc
+                + F.element_at(
+                    F.element_at(F.col("lut_q"), i + F.lit(1)),
+                    F.element_at(F.col("codes"), i + F.lit(1)) + F.lit(1),
+                ),
+            ).alias("adc_dist_q"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= topk)
+        .select("query_id", "neighbor_id", "nn_rank", "adc_dist_q")
+    )
+
+
+def _ivfpq_sql(
+    k: int = IVFPQ_COARSE_K,
+    iters: int = IVFPQ_COARSE_ITERS,
+    dim: int = 64,
+    m: int = 4,
+    sub: int = 16,
+    pq_ks: int = 8,
+    pq_iters: int = 2,
+    nprobe: int = IVFPQ_NPROBE,
+    n_queries: int = 10,
+    topk: int = 5,
+) -> str:
+    """Oracle: the coarse kmeans CTE chain, residual grid, a second
+    (per-subspace) kmeans chain over residuals, then the probe/LUT/ADC
+    joins — every step exact integer arithmetic."""
+    parts = [_kmeans_ctes(k, iters, dim)]
+    parts.append(f""", adist AS (
+  SELECT ev.vec_id, c.cid, SUM((ev.q - c.cq) * (ev.q - c.cq)) AS dist
+  FROM ev JOIN c{iters} c ON ev.d = c.d GROUP BY 1, 2
+), acell AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM adist
+  ) WHERE rn = 1
+), rsub AS (
+  SELECT ev.vec_id, CAST((ev.d - 1) // {sub} AS INTEGER) AS m,
+         CAST(((ev.d - 1) % {sub}) + 1 AS INTEGER) AS sd,
+         ev.q - c.cq AS r
+  FROM ev JOIN acell a ON a.vec_id = ev.vec_id
+          JOIN c{iters} c ON c.cid = a.cell AND c.d = ev.d
+), p0 AS (
+  SELECT m, CAST(vec_id AS INTEGER) AS cid, sd, r AS cq
+  FROM rsub WHERE vec_id < {pq_ks}
+)""")
+    for i in range(1, pq_iters + 1):
+        parts.append(f""", pdist{i} AS (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.r - c.cq) * (s.r - c.cq)) AS dist
+  FROM rsub s JOIN p{i - 1} c ON s.m = c.m AND s.sd = c.sd
+  GROUP BY 1, 2, 3
+), pa{i} AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM pdist{i}
+  ) WHERE rn = 1
+), p{i} AS (
+  SELECT a.m, a.cid, s.sd, CAST(SUM(s.r) // COUNT(*) AS BIGINT) AS cq
+  FROM pa{i} a JOIN rsub s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY 1, 2, 3
+)""")
+    parts.append(f""", pcdist AS (
+  SELECT s.vec_id, s.m, c.cid, SUM((s.r - c.cq) * (s.r - c.cq)) AS dist
+  FROM rsub s JOIN p{pq_iters} c ON s.m = c.m AND s.sd = c.sd
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM pcdist
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM adist WHERE vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+), qres AS (
+  SELECT p.query_id, p.cell, CAST((ev.d - 1) // {sub} AS INTEGER) AS m,
+         CAST(((ev.d - 1) % {sub}) + 1 AS INTEGER) AS sd, ev.q - c.cq AS r
+  FROM probes p JOIN ev ON ev.vec_id = p.query_id
+       JOIN c{iters} c ON c.cid = p.cell AND c.d = ev.d
+), lut AS (
+  SELECT q.query_id, q.cell, q.m, c.cid,
+         SUM((q.r - c.cq) * (q.r - c.cq)) AS dist
+  FROM qres q JOIN p{pq_iters} c ON c.m = q.m AND c.sd = q.sd
+  GROUP BY 1, 2, 3, 4
+), adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id,
+         CAST(SUM(l.dist) AS BIGINT) AS adc_dist_q
+  FROM codes k JOIN acell a ON a.vec_id = k.vec_id
+       JOIN lut l ON l.cell = a.cell AND l.m = k.m AND l.cid = k.code
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+), top AS (
+  SELECT query_id, neighbor_id, adc_dist_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist_q, neighbor_id) AS nn_rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, nn_rank, adc_dist_q
+FROM top WHERE nn_rank <= {topk}
+""")
+    return "".join(parts)
 
 
 def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
@@ -1614,6 +1856,7 @@ _REGISTRY = {
     "pca_power_iteration": (pca_power_iteration, _pca_sql()),
     "pca_project_census": (pca_project_census, _pca_project_sql()),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ivf_kmeans_sql()),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql()),
     "semantic_dedup_census": (semantic_dedup_census, _semdedup_sql()),
     "corpus_length_percentiles": (corpus_length_percentiles, _PERCENTILES_SQL),
     "corpus_length_histogram": (corpus_length_histogram, _HISTOGRAM_SQL),
