@@ -245,6 +245,7 @@ def main() -> None:
         "q_retention_cohorts",
         "ann_pq_adc_topk",
         "ann_ivfpq_topk",
+        "zorder_layout_census",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

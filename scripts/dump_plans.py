@@ -245,6 +245,11 @@ def main() -> None:
          "cells; candidates meet per-(query,cell) LUTs in a broadcast "
          "equi-join on cell — work is O(n*nprobe/k), one top-k "
          "exchange"),
+        ("zorder_layout_census", "Z-order layout: Morton keys and "
+         "equal-width buckets are map-side integer formulas (no "
+         "global sort/ntile); only the tiny footer aggregate and two "
+         "broadcast range-joins against 2*n_buckets footer rows "
+         "shuffle"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))

@@ -65,6 +65,7 @@ REPRESENTATIVE = [
     "q_retention_cohorts",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "zorder_layout_census",
 ]
 
 

@@ -590,8 +590,174 @@ GROUP BY 1, 2
 """
 
 
+# -- Z-order layout census ---------------------------------------------------
+# Morton/Z-order clustering (Orenstein & Merrett 1984; the layout
+# behind Delta OPTIMIZE ZORDER BY and Iceberg's sort-order rewrite):
+# interleaving the bits of two keys makes files tight in BOTH
+# dimensions, so min/max data skipping prunes for either predicate.
+ZORDER_BITS = 16
+ZORDER_BUCKETS = 16
+
+
+def _interleave_bits(u: Column, t: Column, bits: int = ZORDER_BITS) -> Column:
+    """Morton code: bit i of ``u`` -> position 2i+1, bit i of ``t`` ->
+    position 2i. Pure JVM bit ops, whole-stage-codegen'd."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        terms.append(F.shiftleft(F.shiftright(t, i).bitwiseAND(F.lit(1)), 2 * i))
+    return reduce(operator.add, terms)
+
+
+def zorder_layout_census(
+    spark: SparkSession, sf_dir: str, n_buckets: int = ZORDER_BUCKETS
+) -> DataFrame:
+    """Data-skipping effectiveness of Z-ORDER vs natural time order
+    over events(user_id, ts): bucket the table both ways into
+    ``n_buckets`` equal-width files, record each bucket's min/max per
+    dimension (exactly the parquet/Iceberg footer stats a reader
+    prunes on), and report how many buckets a single-user scan and a
+    single-hour scan must open under each layout.
+
+    Scale shape: both bucket keys are EQUAL-WIDTH integer formulas
+    ((key * n) div range) computed map-side — no global sort, no ntile
+    window; at 100 TB this is repartitionByRange on the same key. The
+    only non-map work is the tiny (layout, bucket) footer aggregate
+    and two broadcast range-joins of the distinct probe values against
+    the 2*n_buckets footer rows. Integer arithmetic end to end.
+
+    Expected physics (asserted by the oracle twin, not assumed):
+    natural order is perfect for time (1 bucket/hour) but worthless
+    for users (every bucket holds every user); Z-order pays a small
+    time-locality cost to make user scans prune too."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # NTZ -> timestamp -> long: floored epoch seconds, the exact
+        # rule of the oracle's floor(epoch(ts))
+        F.col("ts").cast("timestamp").cast("long").alias("ep"),
+    )
+    bounds = ev.agg(F.min("ep").alias("ep0"), F.max("ep").alias("ep1"))
+    span16 = F.lit((1 << ZORDER_BITS) - 1)
+    keyed = ev.join(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        "ep",
+        (F.col("user_id") % (1 << ZORDER_BITS)).alias("u16"),
+        F.expr(
+            f"((ep - ep0) * {(1 << ZORDER_BITS) - 1}) div greatest(1, ep1 - ep0)"
+        ).alias("t16"),
+    )
+    zkeyed = keyed.withColumn("zval", _interleave_bits(F.col("u16"), F.col("t16")))
+    both = zkeyed.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"cast((zval * {n_buckets}) div {1 << (2 * ZORDER_BITS)} as int)").alias(
+            "bucket"
+        ),
+        "user_id",
+        "ep",
+    ).unionAll(
+        zkeyed.select(
+            F.lit("natural").alias("layout"),
+            F.expr(f"cast((t16 * {n_buckets}) div {1 << ZORDER_BITS} as int)").alias(
+                "bucket"
+            ),
+            "user_id",
+            "ep",
+        )
+    )
+    footers = both.groupBy("layout", "bucket").agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.expr("min(ep) div 3600").alias("h_min"),
+        F.expr("max(ep) div 3600").alias("h_max"),
+    )
+    users = ev.select("user_id").distinct()
+    hours = ev.select(F.expr("ep div 3600").alias("hr")).distinct()
+    touch_u = users.join(
+        F.broadcast(footers),
+        (F.col("user_id") >= F.col("u_min")) & (F.col("user_id") <= F.col("u_max")),
+    ).groupBy("layout").agg(F.count(F.lit(1)).alias("n_touch_u"))
+    touch_h = hours.join(
+        F.broadcast(footers),
+        (F.col("hr") >= F.col("h_min")) & (F.col("hr") <= F.col("h_max")),
+    ).groupBy("layout").agg(F.count(F.lit(1)).alias("n_touch_h"))
+    sizes = footers.groupBy("layout").agg(F.count(F.lit(1)).alias("n_files"))
+    # probe-set sizes as a one-row broadcast (no driver actions)
+    denoms = users.agg(F.count(F.lit(1)).alias("n_users")).join(
+        hours.agg(F.count(F.lit(1)).alias("n_hours"))
+    )
+    return (
+        sizes.join(touch_u, "layout")
+        .join(touch_h, "layout")
+        .join(F.broadcast(denoms))
+        .select(
+            "layout",
+            "n_files",
+            F.round(F.col("n_touch_u") / F.col("n_users"), 6).alias(
+                "avg_files_per_user_scan"
+            ),
+            F.round(F.col("n_touch_h") / F.col("n_hours"), 6).alias(
+                "avg_files_per_hour_scan"
+            ),
+        )
+    )
+
+
+def _zorder_sql(bits: int = ZORDER_BITS, n_buckets: int = ZORDER_BUCKETS) -> str:
+    z_terms = " + ".join(
+        f"(((u16 >> {i}) & 1) << {2 * i + 1}) + (((t16 >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    )
+    return f"""
+WITH b AS (
+  SELECT MIN(floor(epoch(ts))::BIGINT) AS ep0, MAX(floor(epoch(ts))::BIGINT) AS ep1
+  FROM events
+), keyed AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ep,
+         user_id % {1 << bits} AS u16,
+         ((floor(epoch(ts))::BIGINT - b.ep0) * {(1 << bits) - 1})
+           // greatest(1, b.ep1 - b.ep0) AS t16
+  FROM events, b
+), z AS (
+  SELECT event_id, user_id, ep, ({z_terms}) AS zval, t16 FROM keyed
+), layouts AS (
+  SELECT 'zorder' AS layout,
+         CAST((zval * {n_buckets}) // {1 << (2 * bits)} AS INTEGER) AS bucket,
+         user_id, ep
+  FROM z
+  UNION ALL
+  SELECT 'natural' AS layout,
+         CAST((t16 * {n_buckets}) // {1 << bits} AS INTEGER) AS bucket,
+         user_id, ep
+  FROM z
+), footers AS (
+  SELECT layout, bucket, MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+         MIN(ep) // 3600 AS h_min, MAX(ep) // 3600 AS h_max
+  FROM layouts GROUP BY 1, 2
+), users AS (SELECT DISTINCT user_id FROM keyed),
+hours AS (SELECT DISTINCT ep // 3600 AS hr FROM keyed),
+tu AS (
+  SELECT layout, COUNT(*) AS n_touch_u
+  FROM users u JOIN footers f ON u.user_id BETWEEN f.u_min AND f.u_max
+  GROUP BY 1
+), th AS (
+  SELECT layout, COUNT(*) AS n_touch_h
+  FROM hours h JOIN footers f ON h.hr BETWEEN f.h_min AND f.h_max
+  GROUP BY 1
+), sz AS (SELECT layout, COUNT(*) AS n_files FROM footers GROUP BY 1)
+SELECT sz.layout, sz.n_files,
+       ROUND(CAST(n_touch_u AS DOUBLE) / (SELECT COUNT(*) FROM users), 6)
+         AS avg_files_per_user_scan,
+       ROUND(CAST(n_touch_h AS DOUBLE) / (SELECT COUNT(*) FROM hours), 6)
+         AS avg_files_per_hour_scan
+FROM sz JOIN tu USING (layout) JOIN th USING (layout)
+"""
+
+
 _REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "zorder_layout_census": (zorder_layout_census, _zorder_sql()),
     "q_event_funnel": (q_event_funnel, _FUNNEL_SQL),
     "q_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
     "q_top_customers": (q_top_customers, _TOP_CUST_SQL),
