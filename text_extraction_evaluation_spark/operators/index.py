@@ -72,3 +72,82 @@ def ivf_topk_with_index(
     cent = cent.withColumn("cn", cn)
     base = _emb_with_norm(spark, sf_dir)
     return _ivf_probe(base, cent, nprobe=nprobe, topk=topk, n_queries=n_queries)
+
+
+# -- incremental MinHash-LSH index maintenance -------------------------------
+
+MINHASH_INDEX_TABLE = "minhash_bands"
+
+
+def append_minhash_chunk(
+    spark: SparkSession,
+    docs: DataFrame,
+    cat_root: str,
+    chunk_id: str,
+    max_bucket_size: int = 1000,
+) -> DataFrame | None:
+    """Incremental near-dup maintenance: given only the NEW documents
+    of a rolling crawl, emit every new candidate pair — new-vs-index
+    (an equi-join of the new band rows against the committed band
+    table) plus new-vs-new (`candidate_pairs` over the new rows only)
+    — then commit the new band rows so the index grows. This is the
+    change-data-feed consumer `LocalCatalog.read_diff` exists for: per
+    increment the work is O(|new| * bucket occupancy), never a re-scan
+    of the historical corpus, and old-vs-old pairs are never re-derived.
+
+    The probe side carries the same degenerate-bucket guard as
+    `candidate_pairs`: an index bucket larger than ``max_bucket_size``
+    contributes only its min doc_id as a hub pair (O(|new|) rows, CC
+    connectivity preserved through the hub) instead of its full
+    membership (O(|new| * k) rows).
+
+    Returns the candidate-pair DataFrame (doc_id_a < doc_id_b), or
+    None when ``chunk_id`` is already committed (idempotent re-run —
+    its pairs were emitted by the original run)."""
+    from pyspark.sql.window import Window
+
+    from .dedup import candidate_pairs, minhash_band_rows
+
+    cat = LocalCatalog(cat_root)
+    if cat.is_committed(MINHASH_INDEX_TABLE, chunk_id):
+        return None
+    bands_new = minhash_band_rows(docs)
+    pairs = candidate_pairs(bands_new, max_bucket_size=max_bucket_size)
+    existing = cat.read(spark, MINHASH_INDEX_TABLE)
+    if existing is not None:
+        w = Window.partitionBy("band", "band_key")
+        old = (
+            existing.withColumn("n_old", F.count(F.lit(1)).over(w))
+            .withColumn("min_old", F.min("doc_id").over(w))
+            .select(
+                F.col("doc_id").alias("old_id"), "band", "band_key",
+                "n_old", "min_old",
+            )
+        )
+        probe = bands_new.select("doc_id", "band", "band_key")
+        cross_small = (
+            probe.join(old.filter(F.col("n_old") <= max_bucket_size),
+                       ["band", "band_key"])
+            .select("doc_id", F.col("old_id").alias("other"))
+        )
+        cross_big = (
+            probe.join(
+                old.filter(F.col("n_old") > max_bucket_size)
+                .select("band", "band_key", "min_old").distinct(),
+                ["band", "band_key"],
+            )
+            .select("doc_id", F.col("min_old").alias("other"))
+        )
+        cross = (
+            cross_small.unionByName(cross_big)
+            .filter(F.col("doc_id") != F.col("other"))
+            .select(
+                F.least("doc_id", "other").alias("doc_id_a"),
+                F.greatest("doc_id", "other").alias("doc_id_b"),
+            )
+        )
+        pairs = pairs.unionByName(cross).distinct()
+    cat.commit_append(
+        bands_new, MINHASH_INDEX_TABLE, chunk_id, meta={"kind": "minhash_bands"}
+    )
+    return pairs
