@@ -12,7 +12,11 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
 import sys; sys.path.insert(0,'.')
 from bench import _host_capacity
 print(int(_host_capacity()))" 2>/dev/null | tail -1)
-  if [ "$CAP" -ge 482000000 ] 2>/dev/null; then STABLE=$((STABLE+1)); else STABLE=0; fi
+  # launch gate at 88% of the 5.35e8 session peak: the bench's own
+  # per-pair calibration is the real quality gate (it aborts with rc
+  # 3/4 on mid-run degradation, leaving committed evidence untouched),
+  # so the watcher can afford more launch attempts in a marginal epoch
+  if [ "$CAP" -ge 470000000 ] 2>/dev/null; then STABLE=$((STABLE+1)); else STABLE=0; fi
   echo "$(date +%H:%M:%S) capacity=$CAP stable=$STABLE" >> /tmp/scale_watch.log
   if [ "$STABLE" -ge 2 ]; then
     echo "$(date +%H:%M:%S) launching scaling bench" >> /tmp/scale_watch.log
