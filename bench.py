@@ -246,6 +246,7 @@ def main() -> None:
         "ann_pq_adc_topk",
         "ann_ivfpq_topk",
         "zorder_layout_census",
+        "dedup_jaccard_prefix",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

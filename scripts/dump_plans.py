@@ -250,6 +250,11 @@ def main() -> None:
          "global sort/ntile); only the tiny footer aggregate and two "
          "broadcast range-joins against 2*n_buckets footer rows "
          "shuffle"),
+        ("dedup_jaccard_prefix", "prefix-filter join: candidates come "
+         "only from each doc's rarest-L-shingle prefix (lossless by "
+         "the prefix-filter theorem), so bucket sizes shrink exactly "
+         "where the naive shingle index explodes; exact verify join "
+         "after"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))

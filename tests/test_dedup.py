@@ -126,6 +126,22 @@ def test_inverted_index_jaccard_equals_brute(spark):
     assert len(inv) > 0
 
 
+def test_prefix_filter_jaccard_is_lossless(spark):
+    """The prefix-filter theorem in practice: dedup_jaccard_prefix
+    (candidates only from each doc's rarest-L-shingle prefix) must
+    equal the brute all-pairs twin EXACTLY — unlike the df-capped
+    inverted index, which changes the metric on hot-key corpora."""
+    from text_extraction_evaluation_spark.plans.queries import (
+        dedup_jaccard_prefix,
+        dedup_ngram_jaccard_brute,
+    )
+
+    pref = {tuple(r) for r in dedup_jaccard_prefix(spark, SF0001).collect()}
+    brute = {tuple(r) for r in dedup_ngram_jaccard_brute(spark, SF0001).collect()}
+    assert pref == brute
+    assert len(pref) > 0
+
+
 def test_degenerate_bucket_is_star_reduced(spark):
     """A pathological LSH bucket (one boilerplate text crawled n times)
     must emit O(n) star pairs, not O(n^2) — and stay one CC component."""

@@ -66,6 +66,7 @@ REPRESENTATIVE = [
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "zorder_layout_census",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -272,6 +272,98 @@ def dedup_ngram_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 pairs via PREFIX FILTERING (Chaudhuri,
+    Ganti & Kaushik 2006; Xiao et al. 2008 PPJoin) — the LOSSLESS
+    at-scale alternative to dedup_ngram_jaccard's df cap: instead of
+    dropping hot shingles (changing the metric), index only each
+    document's PREFIX — its L = n - ceil(0.8*n) + 1 globally RAREST
+    shingles. The prefix-filter theorem guarantees two sets with
+    Jaccard >= t share at least one prefix token, so the candidate
+    equi-join over prefixes misses nothing, and because prefixes hold
+    the rarest tokens first, bucket sizes shrink exactly where the
+    naive index explodes. Candidates are then verified with the exact
+    full-set Jaccard (array_intersect), so the output EQUALS the brute
+    all-pairs twin bit for bit (asserted in tests/test_dedup.py).
+
+    ceil is pure integer arithmetic ((4n + 4) div 5) — no float
+    boundary to drift cross-engine. Shuffles: one shingle-key window
+    (df), one doc-key window (prefix rank), the prefix equi-join, and
+    the verify join — all keyed, no nested loop."""
+    docs = _docs_par(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", word_shingles(tokens_col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    inv = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    ranked = inv.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).withColumn(
+        "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(x, "doc_id_a")
+        .join(y, "doc_id_b")
+        .filter(jac >= 0.8)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_JACCARD_PREFIX_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sl
+  FROM t WHERE len(w) >= 3
+), inv AS (
+  SELECT doc_id, unnest(sl) AS s FROM sh
+), dft AS (
+  SELECT s, COUNT(*) AS df FROM inv GROUP BY s
+), ranked AS (
+  SELECT inv.doc_id, inv.s,
+         ROW_NUMBER() OVER (PARTITION BY inv.doc_id ORDER BY dft.df, inv.s) AS pos
+  FROM inv JOIN dft USING (s)
+), sizes AS (
+  SELECT doc_id, len(sl) AS n FROM sh
+), prefix AS (
+  SELECT r.doc_id, r.s
+  FROM ranked r JOIN sizes z USING (doc_id)
+  WHERE r.pos <= z.n - ((4 * z.n + 4) // 5) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+), v AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         len(list_intersect(x.sl, y.sl)) AS inter,
+         len(x.sl) AS na, len(y.sl) AS nb
+  FROM cand c JOIN sh x ON x.doc_id = c.doc_id_a
+              JOIN sh y ON y.doc_id = c.doc_id_b
+)
+SELECT doc_id_a, doc_id_b,
+       ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+"""
+
+
 _JACCARD_SQL = f"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
@@ -2596,6 +2688,7 @@ _REGISTRY = {
     "doc_fingerprint": (doc_fingerprint, _FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _JACCARD_SQL),
+    "dedup_jaccard_prefix": (dedup_jaccard_prefix, _JACCARD_PREFIX_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_minhash_verified": (dedup_minhash_verified, _minhash_verified_sql()),
     "dedup_components": (dedup_components, _components_sql()),
