@@ -370,3 +370,29 @@ def test_runtime_bloom_filter_join_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path_factory):
+    """At 100 TB the pages/fact tables are date-partitioned; a
+    fact ⋈ filtered-dim join must prune fact PARTITIONS at runtime
+    (dynamic partition pruning), not scan-then-filter. Writes a
+    month-partitioned fact, joins a dim filtered to 2 months, and
+    asserts the dynamicpruningexpression partition filter is in the
+    fact scan plus the exact surviving row count."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("dpp") / "fact")
+    spark.range(12_000).select(
+        F.col("id").alias("k"), (F.col("id") % 12).alias("month")
+    ).write.partitionBy("month").parquet(root)
+
+    fact = spark.read.parquet(root)
+    dim = spark.range(12).select(
+        F.col("id").alias("month"),
+        F.when(F.col("id").isin(3, 4), "keep").otherwise("drop").alias("flag"),
+    )
+    joined = fact.join(dim.filter(F.col("flag") == "keep"), "month")
+    n = joined.count()
+    assert n == 2_000
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:2000]
