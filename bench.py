@@ -247,6 +247,8 @@ def main() -> None:
         "ann_ivfpq_topk",
         "zorder_layout_census",
         "dedup_jaccard_prefix",
+        "dedup_threshold_sweep",
+        "stopword_discovery",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

@@ -325,3 +325,47 @@ def test_dup_span_census_and_clean_on_planted_spans(spark, tmp_path):
     want_a = " ".join(t for t in a if not t.startswith("s"))
     assert clean[1]["clean_fp"] == hashlib.md5(want_a.encode()).hexdigest()
     assert clean[3]["clean_fp"] == hashlib.md5(" ".join(c).encode()).hexdigest()
+
+
+def test_threshold_sweep_monotone_and_consistent(spark):
+    """The sweep is a census over ONE verified candidate pass: counts
+    must be non-increasing in the threshold, and the 800-permille row
+    must equal the registered dedup_minhash_verified pair count exactly
+    (floored integer permille >= 800 <=> jaccard >= 0.8)."""
+    from text_extraction_evaluation_spark.plans.queries import (
+        dedup_minhash_verified,
+        dedup_threshold_sweep,
+    )
+
+    sf = SF0001
+    rows = {
+        r["threshold_permille"]: r
+        for r in dedup_threshold_sweep(spark, sf).collect()
+    }
+    assert sorted(rows) == [500, 600, 700, 800, 900]
+    pairs = [rows[t]["n_pairs"] for t in sorted(rows)]
+    docs = [rows[t]["n_docs"] for t in sorted(rows)]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    n_verified = dedup_minhash_verified(spark, sf).count()
+    assert rows[800]["n_pairs"] == n_verified
+
+
+def test_stopword_discovery_ranks_and_stoplist_hits(spark):
+    """Top-15 df ranking per language: ranks are 1..15, df is
+    non-increasing along the rank order, and every language's head
+    contains at least one frozen-stoplist token (the synthetic corpus
+    plants stopwords per language by construction)."""
+    from text_extraction_evaluation_spark.plans.queries import stopword_discovery
+
+    rows = stopword_discovery(spark, SF0001).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "fr", "es", "zh", "de"}
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, 16))
+        dfs = [r["df"] for r in rs]
+        assert dfs == sorted(dfs, reverse=True)
+        assert any(r["in_stoplist"] for r in rs), lang

@@ -67,6 +67,8 @@ REPRESENTATIVE = [
     "ann_ivfpq_topk",
     "zorder_layout_census",
     "dedup_jaccard_prefix",
+    "dedup_threshold_sweep",
+    "stopword_discovery",
 ]
 
 

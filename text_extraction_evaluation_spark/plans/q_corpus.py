@@ -2681,6 +2681,188 @@ FROM per_doc GROUP BY source
 """
 
 
+# Near-dup threshold grid (permille): the sweep answers "how many
+# pairs/docs does each candidate Jaccard cutoff implicate" in ONE pass
+# over the LSH candidate set — the tuning table that otherwise costs
+# one full dedup run per threshold. Integer permille (floored) keeps
+# the cutoff comparison exact in both engines.
+SWEEP_THRESHOLDS_PERMILLE = [500, 600, 700, 800, 900]
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity census for near-dup dedup: verify every
+    MinHash-LSH candidate pair ONCE with exact 3-gram Jaccard, then
+    count surviving pairs and implicated documents at each cutoff in
+    SWEEP_THRESHOLDS_PERMILLE.
+
+    Scale shape: the expensive parts (signature pass, candidate join,
+    exact verification) run exactly once; the sweep itself is a
+    map-side explode of a 5-element filtered literal array over the
+    tiny verified-pair set — no join against the threshold grid, no
+    re-run per cutoff. Zero-pair thresholds still appear (broadcast
+    left join from the literal grid).
+
+    Cross-engine determinism: the cutoff compares floored integer
+    permille ((inter*1000) div union) against integer thresholds — no
+    float boundary can disagree between engines."""
+    from ..operators.dedup import candidate_pairs, minhash_band_rows
+
+    docs = _docs_par(spark, sf_dir)
+    cands = candidate_pairs(minhash_band_rows(docs))
+    sh = docs.select(
+        "doc_id", word_shingles(tokens_col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("bigint") - inter
+    scored = (
+        cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            inter.alias("inter"),
+            union.alias("uni"),
+        )
+        .select(
+            "doc_id_a", "doc_id_b", F.expr("(inter * 1000) div uni").alias("jac_m")
+        )
+    )
+    th_arr = F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS_PERMILLE])
+    pairs_th = scored.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.explode(
+            F.filter(th_arr, lambda t: F.col("jac_m") >= t)
+        ).alias("threshold_permille"),
+    )
+    n_pairs = pairs_th.groupBy("threshold_permille").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_docs = (
+        pairs_th.select(
+            "threshold_permille",
+            F.explode(F.array("doc_id_a", "doc_id_b")).alias("d"),
+        )
+        .groupBy("threshold_permille")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    grid = spark.range(1).select(
+        F.explode(th_arr).alias("threshold_permille")
+    )
+    return (
+        grid.join(F.broadcast(n_pairs), "threshold_permille", "left")
+        .join(F.broadcast(n_docs), "threshold_permille", "left")
+        .select(
+            F.col("threshold_permille").cast("int").alias("threshold_permille"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+def _threshold_sweep_sql() -> str:
+    grid = ", ".join(str(t) for t in SWEEP_THRESHOLDS_PERMILLE)
+    return f"""
+WITH cand AS ({_minhash_sql()}),
+tt AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh2 AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+  FROM tt WHERE len(w) >= 3
+), scored AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         (CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 1000)
+           // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac_m
+  FROM cand c
+  JOIN sh2 a ON a.doc_id = c.doc_id_a
+  JOIN sh2 b ON b.doc_id = c.doc_id_b
+), th AS (
+  SELECT unnest([{grid}]) AS threshold_permille
+), pth AS (
+  SELECT t.threshold_permille, s.doc_id_a, s.doc_id_b
+  FROM th t JOIN scored s ON s.jac_m >= t.threshold_permille
+), np AS (
+  SELECT threshold_permille, COUNT(*) AS n_pairs FROM pth GROUP BY 1
+), nd AS (
+  SELECT threshold_permille, COUNT(DISTINCT d) AS n_docs
+  FROM (
+    SELECT threshold_permille, unnest([doc_id_a, doc_id_b]) AS d FROM pth
+  ) GROUP BY 1
+)
+SELECT CAST(t.threshold_permille AS INTEGER) AS threshold_permille,
+       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+FROM th t
+LEFT JOIN np ON np.threshold_permille = t.threshold_permille
+LEFT JOIN nd ON nd.threshold_permille = t.threshold_permille
+"""
+
+
+# Stopword-discovery shape: top-K tokens by document frequency per
+# language — the data-driven way the jusText stoplists would be built
+# for a language that ships without one.
+STOPWORD_DISCOVERY_TOPK = 15
+
+
+def stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven stopword discovery: rank each language's tokens by
+    document frequency and keep the top K, flagging membership in the
+    frozen synthetic stoplist (the list jusText classification actually
+    uses) — the audit that says whether the shipped stoplist matches
+    the corpus the classifier runs on.
+
+    Scale shape: array_distinct BEFORE explode bounds the shuffle at
+    one row per (doc, distinct token); the (lang, token) hash aggregate
+    map-side combines; the ranking window runs over the
+    vocabulary-sized aggregate, never over token occurrences."""
+    docs = _docs_par(spark, sf_dir)
+    df_ = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.array_distinct(tokens_col("text"))).alias("token"),
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("token"))
+    return (
+        df_.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= STOPWORD_DISCOVERY_TOPK)
+        .select(
+            "lang",
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("token")
+            .isin(*STOPWORDS_SORTED)
+            .cast("boolean")
+            .alias("in_stoplist"),
+        )
+    )
+
+
+_STOPWORD_DISCOVERY_SQL = f"""
+WITH e AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
+  FROM documents
+), dfx AS (
+  SELECT lang, token, COUNT(*) AS df FROM e GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, token, df,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rank
+  FROM dfx
+)
+SELECT lang, CAST(rank AS INTEGER) AS rank, token, CAST(df AS BIGINT) AS df,
+       token IN ({_STOP_SQL}) AS in_stoplist
+FROM ranked WHERE rank <= {STOPWORD_DISCOVERY_TOPK}
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
     "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
@@ -2719,4 +2901,6 @@ _REGISTRY = {
     "token_entropy_census": (token_entropy_census, _ENTROPY_SQL),
     "phrase_search_census": (phrase_search_census, _phrase_sql()),
     "mixture_temperature_plan": (mixture_temperature_plan, _MIX_TEMP_SQL),
+    "dedup_threshold_sweep": (dedup_threshold_sweep, _threshold_sweep_sql()),
+    "stopword_discovery": (stopword_discovery, _STOPWORD_DISCOVERY_SQL),
 }
