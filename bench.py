@@ -249,6 +249,9 @@ def main() -> None:
         "dedup_jaccard_prefix",
         "dedup_threshold_sweep",
         "stopword_discovery",
+        "bm25_mrr_eval",
+        "ann_dim_truncation_recall",
+        "passage_chunk_census",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

@@ -69,6 +69,9 @@ REPRESENTATIVE = [
     "dedup_jaccard_prefix",
     "dedup_threshold_sweep",
     "stopword_discovery",
+    "bm25_mrr_eval",
+    "ann_dim_truncation_recall",
+    "passage_chunk_census",
 ]
 
 

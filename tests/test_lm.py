@@ -108,3 +108,36 @@ def test_funnel_is_monotone_and_chained(spark):
         assert r.n_dropped == r.n_in - r.n_out
     for prev, cur in zip(rows, rows[1:], strict=False):
         assert cur.n_in == prev.n_out
+
+
+def test_passage_chunk_census_matches_pandas_recompute(spark):
+    """Chunk geometry is pure integer math on token counts — recompute
+    it doc-by-doc in pandas and assert the census equals it exactly."""
+    import pandas as pd
+
+    from tests.conftest import SF0001
+    from text_extraction_evaluation_spark.plans.queries import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        passage_chunk_census,
+    )
+
+    docs = pd.read_parquet(f"{SF0001}/documents.parquet")
+    want = {}
+    for _, r in docs.iterrows():
+        n = len(r["text"].strip().split())
+        starts = list(range(0, max(n, 1), CHUNK_STRIDE))
+        d = want.setdefault(r["lang"], [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += len(starts)
+        d[2] += sum(min(CHUNK_TOKENS, n - s) for s in starts)
+        d[3] += n
+    got = {r["lang"]: r for r in passage_chunk_census(spark, SF0001).collect()}
+    assert set(got) == set(want)
+    for lang, (n_docs, n_chunks, ctok, dtok) in want.items():
+        g = got[lang]
+        assert (g["n_docs"], g["n_chunks"]) == (n_docs, n_chunks)
+        assert (g["sum_chunk_tokens"], g["sum_doc_tokens"]) == (ctok, dtok)
+        assert g["expansion_ratio"] == round(ctok / dtok, 6)
+        # stride < window => overlap => strictly more chunk tokens
+        assert ctok > dtok

@@ -232,3 +232,40 @@ def test_ivf_index_persist_and_probe_equals_fresh(spark, tmp_path):
     }
     assert got == want
     assert load_kmeans_index(spark, root).count() > 0
+
+
+def test_dim_truncation_recall_bounds_and_numpy_twin(spark):
+    """Truncated-prefix recall@5: bounded, 10 query rows, and the
+    truncated top-5 neighbor sets equal a numpy recomputation of
+    cosine over the first TRUNC_DIMS dims (exact same tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.conftest import SF0001
+    from text_extraction_evaluation_spark.plans.queries import (
+        TRUNC_DIMS,
+        ann_dim_truncation_recall,
+    )
+
+    rows = {r["query_id"]: r for r in ann_dim_truncation_recall(spark, SF0001).collect()}
+    assert sorted(rows) == list(range(10))
+    for r in rows.values():
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_at_5"] == round(r["n_hits"] / 5.0, 6)
+
+    emb = pd.read_parquet(f"{SF0001}/embeddings.parquet")
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    Vt = V[:, :TRUNC_DIMS]
+    Vf = V
+    def top5(M, qi):
+        q = M[ids == qi][0]
+        cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+        order = sorted(
+            [(c, int(i)) for c, i in zip(cos, ids) if i != qi],
+            key=lambda t: (-t[0], t[1]),
+        )
+        return {i for _, i in order[:5]}
+    for qi in range(10):
+        hits = len(top5(Vt, qi) & top5(Vf, qi))
+        assert rows[qi]["n_hits"] == hits

@@ -2681,6 +2681,88 @@ FROM per_doc GROUP BY source
 """
 
 
+# Relevance rule for the BM25 evaluation: a document is relevant to a
+# query term iff it contains the term at least REL_MIN_TF times — a
+# deterministic corpus-derived judgment set, so the fixture needs no
+# external qrels.
+REL_MIN_TF = 2
+
+
+def bm25_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVALUATION for the BM25 ranker: MRR over the
+    registered bm25_topk rankings against the deterministic tf-based
+    relevance rule — the same evaluate-the-approximation discipline as
+    ann_ivf_recall, turned on lexical search. Reports, per query, the
+    corpus-wide relevant-doc count, the first relevant rank inside the
+    top-k (0 if none), and its reciprocal.
+
+    Scale shape: the ranking side is the already-bounded bm25_topk
+    output (k rows per query); relevance tf>=2 is read off the tf
+    column those rows already carry. The corpus-wide n_relevant pass
+    explodes tokens once and drops every non-query term with a
+    broadcast semi-ish inner join BEFORE the (doc, term) aggregate, so
+    the count costs one pruned map + one tiny aggregate."""
+    ranked = bm25_topk(spark, sf_dir)
+    qt = ranked.select("qid", "term").distinct()
+    docs = _docs_par(spark, sf_dir)
+    tok = tokens_col("text")
+    occ = (
+        docs.select("doc_id", F.explode(tok).alias("term"))
+        .join(F.broadcast(qt), "term")
+        .groupBy("qid", "term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nrel = occ.filter(F.col("tf") >= REL_MIN_TF).groupBy("qid", "term").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    first = (
+        ranked.filter(F.col("tf") >= REL_MIN_TF)
+        .groupBy("qid")
+        .agg(F.min("rank").alias("first_rel_rank"))
+    )
+    rank0 = F.coalesce("first_rel_rank", F.lit(0)).cast("int")
+    return (
+        nrel.join(first, "qid", "left")
+        .select(
+            "qid",
+            "term",
+            F.col("n_relevant").cast("bigint").alias("n_relevant"),
+            rank0.alias("first_rel_rank"),
+            F.when(rank0 > 0, F.round(F.lit(1.0) / rank0, 6))
+            .otherwise(F.lit(0.0))
+            .alias("reciprocal_rank"),
+        )
+    )
+
+
+def _bm25_mrr_sql() -> str:
+    return f"""
+WITH b AS ({_BM25_SQL}),
+qt AS (
+  SELECT DISTINCT qid, term FROM b
+), e AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), occ AS (
+  SELECT qt.qid, qt.term, e.doc_id, COUNT(*) AS tf
+  FROM e JOIN qt USING (term)
+  GROUP BY 1, 2, 3
+), nrel AS (
+  SELECT qid, term, COUNT(*) AS n_relevant
+  FROM occ WHERE tf >= {REL_MIN_TF} GROUP BY 1, 2
+), first AS (
+  SELECT qid, MIN(rank) AS first_rel_rank
+  FROM b WHERE tf >= {REL_MIN_TF} GROUP BY qid
+)
+SELECT n.qid, n.term, CAST(n.n_relevant AS BIGINT) AS n_relevant,
+       CAST(COALESCE(f.first_rel_rank, 0) AS INTEGER) AS first_rel_rank,
+       CASE WHEN COALESCE(f.first_rel_rank, 0) > 0
+            THEN ROUND(1.0 / f.first_rel_rank, 6) ELSE 0.0 END
+         AS reciprocal_rank
+FROM nrel n LEFT JOIN first f USING (qid)
+"""
+
+
 # Near-dup threshold grid (permille): the sweep answers "how many
 # pairs/docs does each candidate Jaccard cutoff implicate" in ONE pass
 # over the LSH candidate set — the tuning table that otherwise costs
@@ -2903,4 +2985,5 @@ _REGISTRY = {
     "mixture_temperature_plan": (mixture_temperature_plan, _MIX_TEMP_SQL),
     "dedup_threshold_sweep": (dedup_threshold_sweep, _threshold_sweep_sql()),
     "stopword_discovery": (stopword_discovery, _STOPWORD_DISCOVERY_SQL),
+    "bm25_mrr_eval": (bm25_mrr_eval, _bm25_mrr_sql()),
 }

@@ -1488,8 +1488,104 @@ FROM top WHERE nn_rank <= {topk}
 """
 
 
+# Matryoshka-style truncation audit: score neighbors with only the
+# first TRUNC_DIMS of the 64 embedding dims and measure recall@5
+# against the full-dim ground truth — the go/no-go number for serving
+# a shorter-prefix index (MRL embeddings) or a cheaper first-stage
+# retriever at 10^9-vector scale.
+TRUNC_DIMS = 16
+
+
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of brute-force cosine over the first TRUNC_DIMS
+    dimensions vs the full-dim brute-force top-5 — composed in ONE
+    plan, same evaluate-the-approximation discipline as ann_ivf_recall.
+
+    Scale shape: the truncated pass slices the vector map-side before
+    any distance work (Arrow/JVM array slice, no shuffle), so its
+    candidate scoring costs TRUNC_DIMS/64 of the full pass; the
+    comparison join is over topk-bounded rows. At deployment scale the
+    truncated stage would be the cheap first-stage scan feeding a
+    full-dim re-rank — this census IS that design's recall gate."""
+    full = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, TRUNC_DIMS).alias("v"),
+    )
+    sq = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    base = emb.withColumn("nrm", F.sqrt(sq(F.col("v"))))
+    q = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    ).filter(F.col("query_id") < 10)
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    trunc = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    hits = (
+        trunc.join(full, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = trunc.select("query_id").distinct()
+    n_hits = F.coalesce("n_hits", F.lit(0)).cast("bigint")
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hits.alias("n_hits"),
+        F.round(n_hits / 5.0, 6).alias("recall_at_5"),
+    )
+
+
+def _dim_trunc_recall_sql() -> str:
+    return f"""
+WITH full_tk AS (
+  SELECT query_id, neighbor_id FROM ({_ANN_SQL})
+), e AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1:{TRUNC_DIMS}] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
+), s AS (
+  SELECT query_id, n.vec_id AS neighbor_id,
+         list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN n ON n.vec_id <> q.query_id
+), trunc_tk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS r
+    FROM s
+  ) WHERE r <= 5
+), hits AS (
+  SELECT query_id, COUNT(*) AS n_hits
+  FROM trunc_tk JOIN full_tk USING (query_id, neighbor_id) GROUP BY 1
+)
+SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM trunc_tk) q LEFT JOIN hits h USING (query_id)
+"""
+
+
 _REGISTRY = {
     "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
+    "ann_dim_truncation_recall": (
+        ann_dim_truncation_recall,
+        _dim_trunc_recall_sql(),
+    ),
     "ann_pq_adc_topk": (ann_pq_adc_topk, _pq_adc_sql()),
     "hard_negative_mining": (hard_negative_mining, _HARD_NEG_SQL),
     "embedding_sq8_census": (embedding_sq8_census, _SQ8_SQL),

@@ -1062,8 +1062,94 @@ LIMIT {LIFT_TOP_K}
 """
 
 
+# Retrieval-passage chunking: fixed-size overlapping token windows —
+# the RAG-ingest sibling of sequence_packing's training-side chunking.
+# Stride < window, so consecutive chunks overlap by WINDOW - STRIDE
+# tokens (context preserved across chunk boundaries).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def passage_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-chunking census for retrieval ingest: each document is
+    split into CHUNK_TOKENS-token windows starting every CHUNK_STRIDE
+    tokens (final short tail kept); reports per language the document/
+    chunk counts, total chunk tokens vs source tokens, and the storage
+    expansion the overlap costs — the index-sizing table for a RAG
+    corpus build.
+
+    Scale shape: chunk starts and per-chunk lengths are pure array
+    math on the token count (sequence + transform + aggregate) — NO
+    explode, NO shuffle; the only exchange is the tiny per-language
+    census aggregate. At 100 TB the actual chunk-text emission would
+    explode the same starts array map-side; this census prices that
+    job without running it.
+
+    Cross-engine determinism: all counts are exact integers; the one
+    double (expansion_ratio) is a single fixed division of two exact
+    BIGINT sums, rounded for display."""
+    docs = _docs_par(spark, sf_dir)
+    tok = tokens_col("text")
+    per_doc = docs.select(
+        "lang",
+        F.size(tok).alias("n_tokens"),
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size(tok) - 1, F.lit(0)),
+            F.lit(CHUNK_STRIDE),
+        ).alias("starts"),
+    ).select(
+        "lang",
+        "n_tokens",
+        F.size("starts").alias("n_chunks"),
+        F.aggregate(
+            F.transform(
+                "starts",
+                lambda s: F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - s),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("chunk_tokens"),
+    )
+    total_chunk = F.sum("chunk_tokens").cast("bigint")
+    total_doc = F.sum("n_tokens").cast("bigint")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        total_chunk.alias("sum_chunk_tokens"),
+        total_doc.alias("sum_doc_tokens"),
+        F.round(total_chunk.cast("double") / total_doc, 6).alias(
+            "expansion_ratio"
+        ),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), per_doc AS (
+  SELECT lang, n_tokens,
+         len(range(0, greatest(n_tokens, 1), {CHUNK_STRIDE})) AS n_chunks,
+         list_sum(list_transform(
+           range(0, greatest(n_tokens, 1), {CHUNK_STRIDE}),
+           s -> least({CHUNK_TOKENS}, n_tokens - s)
+         )) AS chunk_tokens
+  FROM t
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_doc_tokens,
+       ROUND(CAST(SUM(chunk_tokens) AS DOUBLE) / SUM(n_tokens), 6)
+         AS expansion_ratio
+FROM per_doc GROUP BY lang
+"""
+
+
 _REGISTRY = {
     "lm_perplexity_score": (lm_perplexity_score, _PPL_SQL),
+    "passage_chunk_census": (passage_chunk_census, _CHUNK_SQL),
     "bigram_lift_topk": (bigram_lift_topk, _LIFT_SQL),
     "quality_ppl_contingency": (quality_ppl_contingency, _CONTINGENCY_SQL),
     "linear_probe_train": (linear_probe_train, _probe_sql()),
