@@ -177,6 +177,23 @@ def main() -> None:
             print(f"  {rw},")
         print("]")
 
+        # paired sign test between the extractors over both-ok docs:
+        # (dataset, n_paired, wins, losses, ties, z_q6); z is
+        # (w-l)/sqrt(w+l) in micro-units — irrational unless w==l
+        # (then exactly 0), so rounding mode cannot matter
+        jp = scores[scores["status"] == "ok"][["url", "dataset", "f1"]]
+        dp = dscores[dscores["status"] == "ok"][["url", "dataset", "f1"]]
+        m = jp.merge(dp, on=["url", "dataset"], suffixes=("_j", "_d"))
+        srows = []
+        for ds, g in m.groupby("dataset"):
+            w = int((g["f1_j"] > g["f1_d"]).sum())
+            lo = int((g["f1_d"] > g["f1_j"]).sum())
+            t = int((g["f1_j"] == g["f1_d"]).sum())
+            nd = w + lo
+            z = round((w - lo) / math.sqrt(nd) * 1e6) if nd else 0
+            srows.append((ds, len(g), w, lo, t, z))
+        print(f"SIGN_TEST[{n_docs}] = {srows}")
+
         # exact-integer report: per (extractor, dataset) status counts,
         # floor(1e9 * metric) sums over ok docs, and micro token counters
         # — the flagship report in a driver-hashable (all-integer) form

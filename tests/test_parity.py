@@ -167,3 +167,29 @@ def test_density_extractor_parity(spark, oracle_out):
     # the two extractors genuinely differ (different operating points)
     jus = oracle_out["extracted"].sort_values("url").reset_index(drop=True)
     assert any(a != b for a, b in zip(want["text"], jus["text"], strict=True))
+
+
+def test_extractor_sign_test_internal_consistency(spark):
+    """Sign-test rows must be self-consistent (paired = wins + losses +
+    ties) and agree in direction with the per-dataset extractor
+    ranking: the rank-1 extractor by macro-F1 should hold the positive
+    side of the z statistic on this fixture."""
+    import math
+
+    from text_extraction_evaluation_spark.plans.queries import (
+        extractor_sign_test,
+    )
+
+    rows = {r["dataset"]: r for r in extractor_sign_test(spark, SF0001).collect()}
+    assert set(rows) == {"cleaneval", "googlenews"}
+    for r in rows.values():
+        assert r["n_paired"] == (
+            r["n_justext_wins"] + r["n_density_wins"] + r["n_ties"]
+        )
+        nd = r["n_justext_wins"] + r["n_density_wins"]
+        want_z = round(
+            (r["n_justext_wins"] - r["n_density_wins"]) / math.sqrt(nd) * 1e6
+        ) if nd else 0
+        assert r["sign_z_q6"] == want_z
+        # justext ranks 1 on both datasets (see _EXTRACTOR_RANKING_CONST)
+        assert r["sign_z_q6"] > 0

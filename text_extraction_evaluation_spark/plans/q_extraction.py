@@ -388,6 +388,101 @@ WHERE n_events = (SELECT COUNT(*) FROM events)
 """
 
 
+def extractor_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired SIGN TEST between the two extractors — the statistical
+    layer the reference's mean±stddev tables gesture at: per dataset,
+    over documents BOTH extractors scored ok, count per-doc F1 wins/
+    losses/ties and report the sign-test z statistic
+    (wins − losses)/√(wins + losses) in quantized micro-units. This is
+    the "is extractor A actually better, or is the mean difference
+    noise" number a harness comparing extractors needs.
+
+    Scale shape: both score tables are already per-doc; the pairing is
+    one (url, dataset) equi-join between them followed by a 2-group
+    aggregate — no new corpus passes beyond the two extraction
+    pipelines themselves.
+
+    Cross-engine determinism: per-doc F1 doubles are bitwise
+    deterministic (tests/test_parity.py), so the win/loss comparisons
+    are exact; the only derived double feeds one fixed √/÷ expression
+    quantized to integer micro-units, and wins==losses yields exactly
+    0. Oracle = frozen VALUES from the pandas oracle running both
+    extractors (scripts/freeze_fingerprints.py)."""
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    gold = gold_df(spark, sf_dir)
+    j = score_extracted(_extracted(spark, sf_dir), gold, extractor="justext_spark")
+    d = score_extracted(
+        _extracted_density(spark, sf_dir), gold, extractor="textdensity"
+    )
+    jok = j.filter(F.col("status") == "ok").select(
+        "url", "dataset", F.col("f1").alias("f1_j")
+    )
+    dok = d.filter(F.col("status") == "ok").select(
+        "url", "dataset", F.col("f1").alias("f1_d")
+    )
+    agg = (
+        jok.join(dok, ["url", "dataset"])
+        .groupBy("dataset")
+        .agg(
+            F.count(F.lit(1)).alias("n_paired"),
+            F.sum((F.col("f1_j") > F.col("f1_d")).cast("bigint")).alias(
+                "n_justext_wins"
+            ),
+            F.sum((F.col("f1_d") > F.col("f1_j")).cast("bigint")).alias(
+                "n_density_wins"
+            ),
+            F.sum((F.col("f1_j") == F.col("f1_d")).cast("bigint")).alias("n_ties"),
+        )
+    )
+    n_dec = F.col("n_justext_wins") + F.col("n_density_wins")
+    z = (
+        F.col("n_justext_wins") - F.col("n_density_wins")
+    ).cast("double") / F.sqrt(n_dec.cast("double"))
+    return agg.select(
+        "dataset",
+        "n_paired",
+        "n_justext_wins",
+        "n_density_wins",
+        "n_ties",
+        F.when(n_dec > 0, F.round(z * 1e6).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("sign_z_q6"),
+    )
+
+
+# Frozen from scripts/freeze_fingerprints.py (pandas oracle, both
+# extractors; keyed by the events row count like the other gates).
+_SIGN_TEST_CONST: dict[int, list[tuple]] = {
+    1000: [
+        ("cleaneval", 138, 94, 29, 15, 5860853),
+        ("googlenews", 143, 96, 29, 18, 5992662),
+    ],
+    10000: [
+        ("cleaneval", 139, 95, 24, 20, 6508559),
+        ("googlenews", 135, 90, 31, 14, 5363636),
+    ],
+}
+
+
+def _sign_test_sql() -> str:
+    rows = ",\n  ".join(
+        f"({n_ev}, '{ds}', CAST({n_p} AS BIGINT), CAST({w} AS BIGINT), "
+        f"CAST({lo} AS BIGINT), CAST({t} AS BIGINT), CAST({z} AS BIGINT))"
+        for n_ev, rs in _SIGN_TEST_CONST.items()
+        for (ds, n_p, w, lo, t, z) in rs
+    )
+    return f"""
+SELECT dataset, n_paired, n_justext_wins, n_density_wins, n_ties, sign_z_q6
+FROM (VALUES
+  {rows}
+) t(n_events, dataset, n_paired, n_justext_wins, n_density_wins, n_ties,
+    sign_z_q6)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
 def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language EXACT length percentiles (p50/p90/p99, linear
     interpolation) — corpus profiling for filter-threshold tuning.
@@ -1852,6 +1947,7 @@ _REGISTRY = {
     "worst_documents": (worst_documents_query, _worst_docs_sql()),
     "density_text_fingerprint": (density_text_fingerprint, _DENSITY_FP_SQL),
     "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
+    "extractor_sign_test": (extractor_sign_test, _sign_test_sql()),
     "kmeans_embeddings": (kmeans_embeddings, _kmeans_sql()),
     "pca_power_iteration": (pca_power_iteration, _pca_sql()),
     "pca_project_census": (pca_project_census, _pca_project_sql()),
