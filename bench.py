@@ -252,6 +252,7 @@ def main() -> None:
         "bm25_mrr_eval",
         "ann_dim_truncation_recall",
         "passage_chunk_census",
+        "dedup_banding_sweep",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

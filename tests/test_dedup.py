@@ -394,3 +394,27 @@ def test_bm25_mrr_eval_consistent_with_rankings(spark):
         else:
             assert row["reciprocal_rank"] == 0.0
         assert row["n_relevant"] >= len(in_topk)
+
+
+def test_banding_sweep_monotone_and_4x4_matches_lsh(spark):
+    """Wider bands are strictly harder to collide: candidate pairs must
+    be monotone non-decreasing from 2x8 -> 4x4 -> 8x2 (an 8-wide band
+    agreement implies agreement on both 4-wide halves, etc.), and the
+    4x4 row must equal the registered dedup_minhash_lsh candidate set
+    (same seeds, same banding)."""
+    from text_extraction_evaluation_spark.plans.queries import (
+        dedup_banding_sweep,
+        dedup_minhash_lsh,
+    )
+
+    rows = {r["cfg"]: r for r in dedup_banding_sweep(spark, SF0001).collect()}
+    assert set(rows) == {"2x8", "4x4", "8x2"}
+    assert rows["2x8"]["n_pairs"] <= rows["4x4"]["n_pairs"] <= rows["8x2"]["n_pairs"]
+    assert (
+        rows["2x8"]["n_docs_in_pairs"]
+        <= rows["4x4"]["n_docs_in_pairs"]
+        <= rows["8x2"]["n_docs_in_pairs"]
+    )
+    for r in rows.values():
+        assert r["n_buckets_multi"] <= r["n_buckets"]
+    assert rows["4x4"]["n_pairs"] == dedup_minhash_lsh(spark, SF0001).count()

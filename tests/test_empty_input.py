@@ -72,6 +72,7 @@ REPRESENTATIVE = [
     "bm25_mrr_eval",
     "ann_dim_truncation_recall",
     "passage_chunk_census",
+    "dedup_banding_sweep",
 ]
 
 

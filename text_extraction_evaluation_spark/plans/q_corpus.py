@@ -2883,6 +2883,169 @@ LEFT JOIN nd ON nd.threshold_permille = t.threshold_permille
 """
 
 
+# LSH banding grid: every (bands x rows) factorization of the 16-hash
+# signature. Fewer, wider bands (2x8) = high precision / low recall;
+# many narrow bands (8x2) = the opposite. The sweep prices each
+# operating point from ONE signature pass.
+BANDING_CONFIGS = [(2, 8), (4, 4), (8, 2)]
+
+
+def dedup_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH BANDING tuning table: bucket occupancy and candidate
+    pair/doc counts for each (bands x rows) split of the same 16-hash
+    signature — the b/r operating-point sweep that otherwise costs one
+    LSH indexing run per configuration (the sibling of
+    dedup_threshold_sweep, which tunes the verify cutoff).
+
+    Scale shape: the CPU-bound part (shingle, md5, 16 xor-min
+    signatures) runs ONCE; all three configurations' band keys come
+    out of a single map-side explode of a literal struct array over
+    the signature row. Candidates are an equi-join on
+    (cfg, band, band_key) — the same bounded-occupancy shape as
+    candidate_pairs, never all-pairs. Bucket census and pair census
+    share the band-key exchange.
+
+    Cross-engine determinism: band keys are md5 of comma-joined exact
+    BIGINT signature values; every output is an exact count."""
+    docs = _docs_par(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", word_shingles(tokens_col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hs = sh.select("doc_id", F.transform("sh", md5_int).alias("h"))
+    # NOTE: the xor lambda must take exactly ONE parameter — pyspark
+    # passes (element, index) to two-parameter transform lambdas, so a
+    # captured-seed default argument would silently become the index
+    sig = hs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("h", lambda x: x.bitwiseXOR(F.lit(seed)))
+            ).alias(f"s{i}")
+            for i, seed in enumerate(MINHASH_SEEDS)
+        ],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(f"{b}x{r}").alias("cfg"),
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"s{i * r + j}").cast("string")
+                            for j in range(r)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b, r in BANDING_CONFIGS
+            for i in range(b)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.cfg", "bk.band", "bk.band_key"
+    )
+    buckets = bands.groupBy("cfg", "band", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    occupancy = buckets.groupBy("cfg").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n") >= 2).cast("bigint")).alias("n_buckets_multi"),
+    )
+    a, b_ = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    n_pairs = pairs.groupBy("cfg").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        pairs.select("cfg", F.explode(F.array("doc_id_a", "doc_id_b")).alias("d"))
+        .groupBy("cfg")
+        .agg(F.countDistinct("d").alias("n_docs_in_pairs"))
+    )
+    return (
+        occupancy.join(F.broadcast(n_pairs), "cfg", "left")
+        .join(F.broadcast(n_docs), "cfg", "left")
+        .select(
+            "cfg",
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            F.col("n_buckets_multi").cast("bigint").alias("n_buckets_multi"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_in_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_in_pairs"),
+        )
+    )
+
+
+def _banding_sweep_sql() -> str:
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(h, x -> xor(x, {seed}::BIGINT))) AS s{i}"
+        for i, seed in enumerate(MINHASH_SEEDS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "SELECT doc_id, '{cfg}' AS cfg, {i} AS band, md5({key}) AS band_key FROM sig".format(
+            cfg=f"{b}x{r}",
+            i=i,
+            key=" || ',' || ".join(f"s{i * r + j}::VARCHAR" for j in range(r)),
+        )
+        for b, r in BANDING_CONFIGS
+        for i in range(b)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+  FROM t WHERE len(w) >= 3
+), hs AS (
+  SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+    {sig_exprs}
+  FROM hs
+), bands AS (
+  {band_selects}
+), buckets AS (
+  SELECT cfg, band, band_key, COUNT(*) AS n FROM bands GROUP BY 1, 2, 3
+), occupancy AS (
+  SELECT cfg, COUNT(*) AS n_buckets,
+         SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_buckets_multi
+  FROM buckets GROUP BY cfg
+), pairs AS (
+  SELECT DISTINCT a.cfg, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b
+    ON a.cfg = b.cfg AND a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), np AS (
+  SELECT cfg, COUNT(*) AS n_pairs FROM pairs GROUP BY cfg
+), nd AS (
+  SELECT cfg, COUNT(DISTINCT d) AS n_docs_in_pairs
+  FROM (SELECT cfg, unnest([doc_id_a, doc_id_b]) AS d FROM pairs) GROUP BY cfg
+)
+SELECT o.cfg, CAST(o.n_buckets AS BIGINT) AS n_buckets,
+       CAST(o.n_buckets_multi AS BIGINT) AS n_buckets_multi,
+       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(nd.n_docs_in_pairs, 0) AS BIGINT) AS n_docs_in_pairs
+FROM occupancy o
+LEFT JOIN np ON np.cfg = o.cfg
+LEFT JOIN nd ON nd.cfg = o.cfg
+"""
+
+
 # Stopword-discovery shape: top-K tokens by document frequency per
 # language — the data-driven way the jusText stoplists would be built
 # for a language that ships without one.
@@ -2986,4 +3149,5 @@ _REGISTRY = {
     "dedup_threshold_sweep": (dedup_threshold_sweep, _threshold_sweep_sql()),
     "stopword_discovery": (stopword_discovery, _STOPWORD_DISCOVERY_SQL),
     "bm25_mrr_eval": (bm25_mrr_eval, _bm25_mrr_sql()),
+    "dedup_banding_sweep": (dedup_banding_sweep, _banding_sweep_sql()),
 }

@@ -57,6 +57,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -210,9 +211,11 @@ class WarcWriter(DataSourceWriter):
         return WarcCommit(shard=name, n_records=n)
 
     def commit(self, messages: list[WarcCommit]) -> None:
-        shards = sorted(
-            self._prior_shards
-            + [m.shard for m in messages if m.n_records > 0]
+        # commit-ordered, not globally sorted: the manifest doubles as
+        # an append LOG so streaming offsets (= prefix lengths into
+        # this list) stay stable across later appends
+        shards = self._prior_shards + sorted(
+            m.shard for m in messages if m.n_records > 0
         )
         total = self._prior_records + sum(m.n_records for m in messages)
         tmp = os.path.join(self.path, f".{MANIFEST}.tmp")
@@ -229,10 +232,56 @@ class WarcWriter(DataSourceWriter):
                     pass
 
 
+class WarcStreamReader(DataSourceStreamReader):
+    """Streaming ingestion over the same archive: the manifest is an
+    append log (commit-ordered shard list), so an OFFSET is simply a
+    prefix length into it. Each micro-batch covers the shards appended
+    since the last committed prefix — one InputPartition per new shard,
+    read on executors exactly like the batch path. This is the
+    continuous-crawl shape: a crawler appends shard sets with
+    ``mode('append')``; the streaming job picks each increment up
+    exactly once (offset tracking rides Spark's checkpoint)."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("warcpages: a path is required")
+        self.path = path
+
+    def _manifest_shards(self) -> list[str]:
+        manifest = os.path.join(self.path, MANIFEST)
+        if not os.path.exists(manifest):
+            return []
+        with open(manifest) as f:
+            return json.load(f)["shards"]
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._manifest_shards())}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        shards = self._manifest_shards()
+        return [
+            InputPartition(os.path.join(self.path, s))
+            for s in shards[start["idx"] : end["idx"]]
+        ]
+
+    def read(self, partition: InputPartition):
+        with open(partition.value, "rb") as f:
+            data = f.read()
+        yield from _parse_shard(data, None, None)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint
+
+
 class WarcPagesDataSource(DataSource):
     """``spark.dataSource.register(WarcPagesDataSource)`` then
     ``spark.read.format('warcpages').load(path)`` /
-    ``df.write.format('warcpages').mode(...).save(path)``."""
+    ``df.write.format('warcpages').mode(...).save(path)`` /
+    ``spark.readStream.format('warcpages').load(path)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -246,6 +295,9 @@ class WarcPagesDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> WarcWriter:
         return WarcWriter(self.options, overwrite)
+
+    def streamReader(self, schema: StructType) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
 
 
 def register(spark) -> None:
