@@ -253,6 +253,7 @@ def main() -> None:
         "ann_dim_truncation_recall",
         "passage_chunk_census",
         "dedup_banding_sweep",
+        "span_churn_census",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

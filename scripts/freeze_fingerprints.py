@@ -177,6 +177,41 @@ def main() -> None:
             print(f"  {rw},")
         print("]")
 
+        # crawl-over-crawl span churn census: oldest vs newest crawl
+        # per recrawled url, paragraph-multiset diff, summed per
+        # dataset (twin of plans.q_extraction.span_churn_census)
+        from collections import Counter
+
+        dup_urls = pages["url"].value_counts()
+        dup_urls = set(dup_urls[dup_urls >= 2].index)
+        dups = pages[pages["url"].isin(dup_urls)].sort_values(
+            ["url", "warc_ts"], kind="mergesort"
+        )
+        oldest = dups.groupby("url", as_index=False).head(1)
+        newest = dups.groupby("url", as_index=False).tail(1)
+        sp_old = oracle_spans(oldest)
+        sp_new = oracle_spans(newest)
+        gold = oracle_gold(docs)
+        url_ds = dict(zip(gold["url"], gold["dataset"], strict=True))
+        census: dict[str, list[int]] = {}
+        for url in sorted(dup_urls):
+            ca = Counter(sp_old[sp_old["url"] == url]["text"])
+            cb = Counter(sp_new[sp_new["url"] == url]["text"])
+            common = sum((ca & cb).values())
+            n_old = sum(ca.values())
+            n_new = sum(cb.values())
+            d = census.setdefault(url_ds[url], [0, 0, 0, 0, 0, 0])
+            d[0] += 1
+            d[1] += n_old
+            d[2] += n_new
+            d[3] += common
+            d[4] += n_new - common
+            d[5] += n_old - common
+        churn_rows = [
+            (ds, *vals) for ds, vals in sorted(census.items())
+        ]
+        print(f"SPAN_CHURN[{n_docs}] = {churn_rows}")
+
         # paired sign test between the extractors over both-ok docs:
         # (dataset, n_paired, wins, losses, ties, z_q6); z is
         # (w-l)/sqrt(w+l) in micro-units — irrational unless w==l

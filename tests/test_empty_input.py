@@ -73,6 +73,7 @@ REPRESENTATIVE = [
     "ann_dim_truncation_recall",
     "passage_chunk_census",
     "dedup_banding_sweep",
+    "span_churn_census",
 ]
 
 

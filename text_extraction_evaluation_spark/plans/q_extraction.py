@@ -452,6 +452,68 @@ def extractor_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl PARAGRAPH churn census: for every recrawled
+    url, diff the paragraph multisets of the oldest vs newest crawl
+    (operators.align.crawl_span_churn — the cogrouped-Arrow surface)
+    and aggregate per dataset. The synthesis rules render each second
+    crawl with a different boilerplate template around the same
+    content, so this census separates template churn (added/removed)
+    from stable content (common) — the re-extract-or-skip signal
+    crawl_content_diff's text hashes cannot give.
+
+    Scale shape: the span kernel runs over the recrawled subset only;
+    the diff is one cogroup on url (each side shuffled once); the
+    census is a 2-row aggregate after a broadcast dataset join.
+    Oracle = frozen VALUES from the pandas oracle replaying the same
+    crawl split + multiset diff (scripts/freeze_fingerprints.py)."""
+    from ..operators.align import crawl_span_churn
+    from ..sources.readers import gold_df, pages_df
+
+    pages = pages_df(spark, sf_dir, n_partitions=16)
+    churn = crawl_span_churn(pages)
+    ds = gold_df(spark, sf_dir).select("url", "dataset")
+    return (
+        churn.join(F.broadcast(ds), "url")
+        .groupBy("dataset")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum("n_spans_old").alias("sum_spans_old"),
+            F.sum("n_spans_new").alias("sum_spans_new"),
+            F.sum("n_common").alias("sum_common"),
+            F.sum("n_added").alias("sum_added"),
+            F.sum("n_removed").alias("sum_removed"),
+        )
+    )
+
+
+# Frozen from scripts/freeze_fingerprints.py (pandas oracle replaying
+# the oldest/newest crawl split + per-url paragraph multiset diff).
+_SPAN_CHURN_CONST: dict[int, list[tuple]] = {
+    1000: [("cleaneval", 25, 246, 180, 68, 112, 178)],
+    10000: [("cleaneval", 25, 259, 184, 71, 113, 188)],
+}
+
+
+def _span_churn_sql() -> str:
+    rows = ",\n  ".join(
+        f"({n_ev}, '{ds}', CAST({n} AS BIGINT), CAST({so} AS BIGINT), "
+        f"CAST({sn} AS BIGINT), CAST({c} AS BIGINT), CAST({ad} AS BIGINT), "
+        f"CAST({rm} AS BIGINT))"
+        for n_ev, rs in _SPAN_CHURN_CONST.items()
+        for (ds, n, so, sn, c, ad, rm) in rs
+    )
+    return f"""
+SELECT dataset, n_urls, sum_spans_old, sum_spans_new, sum_common,
+       sum_added, sum_removed
+FROM (VALUES
+  {rows}
+) t(n_events, dataset, n_urls, sum_spans_old, sum_spans_new, sum_common,
+    sum_added, sum_removed)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
 # Frozen from scripts/freeze_fingerprints.py (pandas oracle, both
 # extractors; keyed by the events row count like the other gates).
 _SIGN_TEST_CONST: dict[int, list[tuple]] = {
@@ -1948,6 +2010,7 @@ _REGISTRY = {
     "density_text_fingerprint": (density_text_fingerprint, _DENSITY_FP_SQL),
     "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
     "extractor_sign_test": (extractor_sign_test, _sign_test_sql()),
+    "span_churn_census": (span_churn_census, _span_churn_sql()),
     "kmeans_embeddings": (kmeans_embeddings, _kmeans_sql()),
     "pca_power_iteration": (pca_power_iteration, _pca_sql()),
     "pca_project_census": (pca_project_census, _pca_project_sql()),
