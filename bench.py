@@ -254,6 +254,8 @@ def main() -> None:
         "passage_chunk_census",
         "dedup_banding_sweep",
         "span_churn_census",
+        "q18_large_orders",
+        "q_events_rolling_window",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

@@ -74,6 +74,9 @@ REPRESENTATIVE = [
     "passage_chunk_census",
     "dedup_banding_sweep",
     "span_churn_census",
+    "q18_large_orders",
+    "q20_promo_excess_suppliers",
+    "q_events_rolling_window",
 ]
 
 

@@ -439,6 +439,163 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+Q18_MIN_QTY = 300
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate lineitem
+    quantity per order FIRST (the group-then-filter HAVING probe),
+    keep orders at >= Q18_MIN_QTY units, then join the tiny survivor
+    set to orders and customer. Aggregate-before-join is the point at
+    scale: the heavy fact table collapses to one row per order before
+    any join, and the survivor set (5 rows at sf0.001) broadcasts onto
+    the dimension side. Quantities are integral doubles — cast to
+    BIGINT before summing so the HAVING comparison is exact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").alias("total_qty"))
+        .filter(F.col("total_qty") >= Q18_MIN_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        F.broadcast(big)
+        .join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+        )
+    )
+
+
+_Q18_SQL = f"""
+WITH s AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) >= {Q18_MIN_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(s.total_qty AS BIGINT) AS total_qty
+FROM s
+JOIN orders o ON o.o_orderkey = s.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def q20_promo_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted to this fixture (no partsupp table):
+    suppliers whose 1996 shipped quantity of PROMO-type parts exceeds
+    150% of the average supplier's — the nested-aggregate existence
+    probe (per-supplier aggregate compared against a corpus-level
+    aggregate of that same aggregate). The threshold comparison uses
+    integer cross-multiplication (qty * n_supp * 2 > grand * 3), never
+    a division — exact in both engines. The corpus-level (grand, n)
+    pair is one broadcast row; the part dimension filter broadcasts
+    onto the fact scan."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("q"))
+    per_supp = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("q").alias("qty"))
+    )
+    totals = per_supp.agg(
+        F.sum("qty").alias("grand"), F.count(F.lit(1)).alias("n_supp")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(totals))
+        .filter(F.col("qty") * F.col("n_supp") * 2 > F.col("grand") * 3)
+        .join(F.broadcast(supp), per_supp["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("qty").cast("bigint").alias("promo_qty"))
+    )
+
+
+_Q20_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+), totals AS (
+  SELECT SUM(qty) AS grand, COUNT(*) AS n_supp FROM per_supp
+)
+SELECT s.s_suppkey, s.s_name, CAST(ps.qty AS BIGINT) AS promo_qty
+FROM per_supp ps CROSS JOIN totals t
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE ps.qty * t.n_supp * 2 > t.grand * 3
+"""
+
+
+ROLLING_WINDOW_SEC = 3600
+
+
+def q_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TRAILING-HOUR rolling aggregate over event time — a
+    true RANGE window frame (peers by timestamp value, not row
+    position): for every event, how many events and how much quantized
+    value the same user produced in the preceding 3600 s inclusive.
+    The rate-limit/burst-detection shape.
+
+    Scale shape: one user_id exchange; the range frame is evaluated
+    with a sliding pointer inside each sorted partition — no
+    self-join, no explode of the hour into rows.
+
+    Cross-engine determinism: frame bounds compare exact epoch-second
+    BIGINTs; the summed value is pre-quantized (floor(value*1e6)) so
+    the window sum is an exact integer regardless of slide order."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # NTZ -> timestamp -> long: floored epoch seconds (same
+        # convention as q_event_sessions; matches DuckDB floor(epoch()))
+        F.col("ts").cast("timestamp").cast("long").alias("e"),
+        F.floor(F.col("value") * 1e6).cast("bigint").alias("v_q6"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("e")
+        .rangeBetween(-(ROLLING_WINDOW_SEC - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum("v_q6").over(w).alias("v_sum_q6_1h"),
+    )
+
+
+_ROLLING_SQL = f"""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_events_1h,
+       CAST(SUM(v_q6) OVER w AS BIGINT) AS v_sum_q6_1h
+FROM (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         CAST(floor(value * 1e6) AS BIGINT) AS v_q6
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY e
+             RANGE BETWEEN {ROLLING_WINDOW_SEC - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 # ---------------------------------------------------------------------------
 # Ordered event funnel + retention cohorts
@@ -772,4 +929,7 @@ _REGISTRY = {
     "q_events_json": (q_events_json, _EVENTS_JSON_SQL),
     "q4_order_priority": (q4_order_priority, _Q4_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
+    "q18_large_orders": (q18_large_orders, _Q18_SQL),
+    "q20_promo_excess_suppliers": (q20_promo_excess_suppliers, _Q20_SQL),
+    "q_events_rolling_window": (q_events_rolling_window, _ROLLING_SQL),
 }
