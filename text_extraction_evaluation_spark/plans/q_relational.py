@@ -544,6 +544,47 @@ WHERE ps.qty * t.n_supp * 2 > t.grand * 3
 """
 
 
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse the JSON props
+    column into VariantType ONCE (a binary-encoded parsed tree, not a
+    string), then extract typed paths with variant_get — the lakehouse
+    answer to repeated get_json_object re-parsing. At scale the parse
+    cost is paid once per row and every downstream path extraction is
+    a cheap tree walk; with Parquet variant shredding the paths prune
+    like real columns.
+
+    Census per event_type over the extracted integer: count, exact
+    sum, max, and a >= 50 threshold count. Oracle: DuckDB extracts the
+    same typed path with json_extract + INT cast."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum((F.col("k") >= 50).cast("bigint")).alias("n_high"),
+        )
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MAX(k) AS max_k,
+       CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
 ROLLING_WINDOW_SEC = 3600
 
 
@@ -932,4 +973,5 @@ _REGISTRY = {
     "q18_large_orders": (q18_large_orders, _Q18_SQL),
     "q20_promo_excess_suppliers": (q20_promo_excess_suppliers, _Q20_SQL),
     "q_events_rolling_window": (q_events_rolling_window, _ROLLING_SQL),
+    "q_events_variant": (q_events_variant, _VARIANT_SQL),
 }
