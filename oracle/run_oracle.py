@@ -78,6 +78,24 @@ def oracle_extract_density(pages: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def oracle_extract_bte(pages: pd.DataFrame) -> pd.DataFrame:
+    """Third-extractor twin (BTE maximum-subarray window, algo/bte.py)."""
+    from text_extraction_evaluation_spark.algo.bte import extract_bytes_bte
+
+    rows = []
+    for url, ts, raw, lang in zip(
+        pages["url"], pages["warc_ts"], pages["html"], pages["lang"], strict=True
+    ):
+        res = extract_bytes_bte(raw)
+        rows.append((url, ts, lang, res.text, res.n_paragraphs, res.n_good,
+                     res.status, res.err))
+    return pd.DataFrame(
+        rows,
+        columns=["url", "warc_ts", "lang", "text", "n_paragraphs", "n_good",
+                 "status", "err"],
+    )
+
+
 def oracle_spans(pages: pd.DataFrame, params: JustextParams = DEFAULT_PARAMS) -> pd.DataFrame:
     rows = []
     for url, raw, lang in zip(pages["url"], pages["html"], pages["lang"], strict=True):

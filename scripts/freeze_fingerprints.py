@@ -36,6 +36,7 @@ import math
 
 from oracle.run_oracle import (
     oracle_extract,
+    oracle_extract_bte,
     oracle_extract_density,
     oracle_gold,
     oracle_latest_crawl,
@@ -160,8 +161,18 @@ def main() -> None:
         )
         print(f"DENSITY_FP[{n_docs}] = ({len(dens)}, {d_fp})")
 
+        # third extractor: BTE maximum-subarray window fingerprint
+        bte = oracle_extract_bte(latest)
+        b_fp = sum(
+            fp48("|".join([r.url, r.lang, r.status, str(r.n_paragraphs),
+                           str(r.n_good), r.text or ""]))
+            for r in bte.itertuples()
+        )
+        print(f"BTE_FP[{n_docs}] = ({len(bte)}, {b_fp})")
+
         dscores = oracle_scores(dens, oracle_gold(docs), extractor="textdensity")
-        both = pd.concat([scores, dscores], ignore_index=True)
+        bscores = oracle_scores(bte, oracle_gold(docs), extractor="bte")
+        both = pd.concat([scores, dscores, bscores], ignore_index=True)
         rep = oracle_report(both)
         rep = rep.sort_values(
             ["dataset", "avg_f1", "extractor"], ascending=[True, False, True]

@@ -20,7 +20,10 @@ print(int(_host_capacity()))" 2>/dev/null | tail -1)
   echo "$(date +%H:%M:%S) capacity=$CAP stable=$STABLE" >> /tmp/scale_watch.log
   if [ "$STABLE" -ge 2 ]; then
     echo "$(date +%H:%M:%S) launching scaling bench" >> /tmp/scale_watch.log
-    python scripts/scaling_bench.py /root/testdata/sf0.1 256 5 >> /tmp/scale_watch.log 2>&1
+    # replicate=512 halves the relative weight of the fixed ~3s
+    # submit+planning overhead vs 256 (the 32-core run grows to ~45s,
+    # the overhead stays) — the amortization lever VERDICT r2 #4 names
+    python scripts/scaling_bench.py /root/testdata/sf0.1 512 5 >> /tmp/scale_watch.log 2>&1
     RC=$?
     echo "$(date +%H:%M:%S) scaling bench rc=$RC" >> /tmp/scale_watch.log
     if [ "$RC" -eq 0 ]; then

@@ -162,6 +162,16 @@ def extract_pages_density(pages: DataFrame) -> DataFrame:
     )
 
 
+def extract_pages_bte(pages: DataFrame) -> DataFrame:
+    """Third extractor (BTE maximum-subarray body window, algo/bte.py)
+    through the identical kernel plumbing — the structure-free baseline
+    of the CleanEval-era comparisons, ranked against the DOM
+    classifiers by extractor_ranking."""
+    from ..algo.bte import extract_bytes_bte
+
+    return _extraction_kernel(pages, lambda raw, _lang: extract_bytes_bte(raw))
+
+
 def latest_crawl(pages: DataFrame) -> DataFrame:
     """Keep the newest crawl per url (W-dedup; SURVEY.md §2.10).
 

@@ -334,23 +334,68 @@ WHERE n_events = (SELECT COUNT(*) FROM events)
 """
 
 
+def _extracted_bte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extract import extract_pages_bte, extracted_clean, latest_crawl
+    from ..sources.readers import pages_df
+
+    pages = pages_df(spark, sf_dir, n_partitions=16)
+    return extracted_clean(extract_pages_bte(latest_crawl(pages)))
+
+
+def bte_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-parity gate for the THIRD extractor (BTE maximum-subarray
+    body window, Finn et al. 2001 — algo/bte.py): same order-
+    independent fingerprint shape as extract_text_fingerprint,
+    constants frozen from the pandas oracle twin (oracle_extract_bte,
+    scripts/freeze_fingerprints.py)."""
+    ex = _extracted_bte(spark, sf_dir)
+    key = F.concat_ws(
+        "|",
+        "url",
+        "lang",
+        "status",
+        F.col("n_paragraphs").cast("string"),
+        F.col("n_good").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(_fp48(key)).alias("fp_sum")
+    )
+
+
+_BTE_FP_SQL = """
+SELECT n_rows, fp_sum FROM (VALUES
+  (1000,  CAST(500 AS BIGINT), CAST(67244854553454784 AS BIGINT)),
+  (10000, CAST(500 AS BIGINT), CAST(70304297135791617 AS BIGINT))
+) t(n_events, n_rows, fp_sum)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
 def extractor_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference harness's core deliverable: multiple extractors
-    scored against the same gold and RANKED per dataset (W1). Both
-    extraction kernels run over the same latest-crawl pages; scores are
-    unioned and fed to ranked_report; the driver-hashed output keeps
-    the integer/string columns (rank order is decided by avg macro-F1
-    internally — floats stay out of the hash). Oracle = frozen VALUES
-    from the pandas oracle running both extractors."""
+    scored against the same gold and RANKED per dataset (W1). All three
+    extraction kernels (jusText, densometric, BTE) run over the same
+    latest-crawl pages; scores are unioned and fed to ranked_report;
+    the driver-hashed output keeps the integer/string columns (rank
+    order is decided by avg macro-F1 internally — floats stay out of
+    the hash). Oracle = frozen VALUES from the pandas oracle running
+    all three extractors."""
     from ..operators.report import ranked_report
     from ..operators.score import score_extracted
     from ..sources.readers import gold_df
 
     gold = gold_df(spark, sf_dir)
-    scores = score_extracted(
-        _extracted(spark, sf_dir), gold, extractor="justext_spark"
-    ).unionByName(
-        score_extracted(_extracted_density(spark, sf_dir), gold, extractor="textdensity")
+    scores = (
+        score_extracted(_extracted(spark, sf_dir), gold, extractor="justext_spark")
+        .unionByName(
+            score_extracted(
+                _extracted_density(spark, sf_dir), gold, extractor="textdensity"
+            )
+        )
+        .unionByName(
+            score_extracted(_extracted_bte(spark, sf_dir), gold, extractor="bte")
+        )
     )
     return ranked_report(scores).select(
         "dataset", "rank", "extractor", "n_ok", "n_empty", "n_fail"
@@ -360,15 +405,19 @@ def extractor_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXTRACTOR_RANKING_CONST: dict[int, list[tuple]] = {
     1000: [
         ("cleaneval", 1, "justext_spark", 138, 112, 0),
-        ("cleaneval", 2, "textdensity", 197, 53, 0),
+        ("cleaneval", 2, "bte", 250, 0, 0),
+        ("cleaneval", 3, "textdensity", 197, 53, 0),
         ("googlenews", 1, "justext_spark", 143, 107, 0),
-        ("googlenews", 2, "textdensity", 198, 52, 0),
+        ("googlenews", 2, "bte", 250, 0, 0),
+        ("googlenews", 3, "textdensity", 198, 52, 0),
     ],
     10000: [
         ("cleaneval", 1, "justext_spark", 139, 111, 0),
-        ("cleaneval", 2, "textdensity", 199, 51, 0),
+        ("cleaneval", 2, "bte", 250, 0, 0),
+        ("cleaneval", 3, "textdensity", 199, 51, 0),
         ("googlenews", 1, "justext_spark", 135, 115, 0),
-        ("googlenews", 2, "textdensity", 200, 50, 0),
+        ("googlenews", 2, "bte", 250, 0, 0),
+        ("googlenews", 3, "textdensity", 200, 50, 0),
     ],
 }
 
@@ -1341,10 +1390,16 @@ def extract_report_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import gold_df
 
     gold = gold_df(spark, sf_dir)
-    scores = score_extracted(
-        _extracted(spark, sf_dir), gold, extractor="justext_spark"
-    ).unionByName(
-        score_extracted(_extracted_density(spark, sf_dir), gold, extractor="textdensity")
+    scores = (
+        score_extracted(_extracted(spark, sf_dir), gold, extractor="justext_spark")
+        .unionByName(
+            score_extracted(
+                _extracted_density(spark, sf_dir), gold, extractor="textdensity"
+            )
+        )
+        .unionByName(
+            score_extracted(_extracted_bte(spark, sf_dir), gold, extractor="bte")
+        )
     )
     ok = F.col("status") == "ok"
     return scores.groupBy("extractor", "dataset").agg(
@@ -1362,12 +1417,16 @@ def extract_report_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REPORT_EXACT_CONST: dict[int, list[tuple]] = {
     1000: [
+        ("bte", "cleaneval", 250, 0, 0, 169409877519, 205981481481, 184343324261, 11525, 14362, 14032),
+        ("bte", "googlenews", 250, 0, 0, 191832486699, 223970927993, 205282547461, 12764, 15037, 13907),
         ("justext_spark", "cleaneval", 138, 112, 0, 133010979488, 130898948037, 130860694132, 8916, 9372, 14032),
         ("justext_spark", "googlenews", 143, 107, 0, 139255958514, 135660561391, 136273997358, 9196, 9509, 13907),
         ("textdensity", "cleaneval", 197, 53, 0, 128023913366, 151166666666, 138049657993, 9959, 12083, 14032),
         ("textdensity", "googlenews", 198, 52, 0, 133748524090, 154272727272, 142783450014, 10336, 12286, 13907),
     ],
     10000: [
+        ("bte", "cleaneval", 250, 0, 0, 169913152135, 205964285714, 184719351390, 11470, 14307, 13664),
+        ("bte", "googlenews", 250, 0, 0, 189311898744, 223971179883, 203568700155, 12034, 14307, 13501),
         ("justext_spark", "cleaneval", 139, 111, 0, 133043470709, 133216590207, 132166265771, 9000, 9512, 13664),
         ("justext_spark", "googlenews", 135, 115, 0, 131516997098, 129117426985, 129670080334, 8779, 9065, 13501),
         ("textdensity", "cleaneval", 199, 51, 0, 131570597340, 154488413546, 141460486883, 9973, 12064, 13664),
@@ -2008,6 +2067,7 @@ _REGISTRY = {
     "status_counts": (status_counts_query, _STATUS_COUNTS_SQL),
     "worst_documents": (worst_documents_query, _worst_docs_sql()),
     "density_text_fingerprint": (density_text_fingerprint, _DENSITY_FP_SQL),
+    "bte_text_fingerprint": (bte_text_fingerprint, _BTE_FP_SQL),
     "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
     "extractor_sign_test": (extractor_sign_test, _sign_test_sql()),
     "span_churn_census": (span_churn_census, _span_churn_sql()),

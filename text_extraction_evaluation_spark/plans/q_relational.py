@@ -585,6 +585,165 @@ GROUP BY event_type
 """
 
 
+# HyperLogLog register-size configs (p -> m = 2^p registers): p=5
+# exercises the raw-estimate branch at fixture cardinalities (2.5m =
+# 80 < 150 distinct users), p=8 the linear-counting branch (E < 640
+# with empty registers). 60-bit md5 hash => no large-range correction
+# (it exists for 32-bit hashes saturating near 2^32; unreachable here).
+HLL_PS = (5, 8)
+
+
+def hll_distinct_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (Flajolet et al. 2007) distinct-user
+    estimate per event type at two register sizes, next to the exact
+    count and the achieved error — the cardinality-sketch operator as
+    a cross-engine-checkable query (Spark's built-in
+    approx_count_distinct is engine-specific, so it can only be
+    bounds-tested; this one is bit-reproducible in DuckDB).
+
+    Everything before the final estimate is exact integer math both
+    engines agree on: hash = 60-bit md5 prefix, register = h mod m,
+    rho = leading-zero rank via the minimal-width binary string, and
+    the harmonic sum is kept as a BIGINT in units of 2^-(62-p) (max
+    possible sum m * 2^(62-p) = 2^62 — no overflow, no float
+    accumulation). The two doubles (raw estimate, linear counting)
+    are single fixed IEEE expressions over those integers, quantized
+    to micro-units per the repo's ln convention.
+
+    Scale shape: one map-side projection + one (event_type, p, reg)
+    aggregate + one (event_type, p) aggregate — the register table is
+    at most groups x m rows regardless of input size, which is the
+    entire point of the sketch; the exact COUNT(DISTINCT) twin column
+    is the fixture-scale audit, not part of the production plan."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    h = md5_int(F.col("user_id").cast("string"))
+    base = ev.select(
+        "event_type",
+        h.alias("h"),
+        F.explode(F.array(*[F.lit(p) for p in HLL_PS])).alias("p"),
+    ).selectExpr(
+        "event_type",
+        "p",
+        "CAST(pow(2.0, p) AS BIGINT) AS m",
+        "pmod(h, CAST(pow(2.0, p) AS BIGINT)) AS reg",
+        "h DIV CAST(pow(2.0, p) AS BIGINT) AS rest",
+    )
+    # rho = (leading zeros of the (60-p)-bit suffix) + 1
+    #     = (60 - p) + 1 - bitlength(rest);  bin() is minimal-width
+    rho = F.when(F.col("rest") == 0, F.lit(61) - F.col("p")).otherwise(
+        F.lit(61) - F.col("p") - F.length(F.bin("rest"))
+    )
+    regs = (
+        base.withColumn("rho", rho)
+        .groupBy("event_type", "p", "m", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    # harmonic sum in units of 2^-(62-p): present register -> 2^(62-p-mx)
+    scale = F.lit(62) - F.col("p")
+    per = regs.groupBy("event_type", "p", "m").agg(
+        F.count(F.lit(1)).alias("n_regs_hit"),
+        F.sum(F.pow(F.lit(2.0), scale - F.col("mx")).cast("bigint")).alias(
+            "sum_hit"
+        ),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    j = per.join(F.broadcast(exact), "event_type").selectExpr(
+        "event_type",
+        "p",
+        "m",
+        "n_regs_hit",
+        "n_exact",
+        "m - n_regs_hit AS n_zero_regs",
+        "sum_hit + (m - n_regs_hit) * CAST(pow(2.0, 62 - p) AS BIGINT)"
+        " AS hll_sum_q",
+    )
+    alpha = F.when(F.col("p") == 5, F.lit(0.697)).otherwise(
+        F.lit(0.7213 / (1.0 + 1.079 / 256.0))
+    )
+    e_raw = (
+        alpha
+        * F.col("m").cast("double")
+        * F.col("m").cast("double")
+        * F.pow(F.lit(2.0), F.lit(62) - F.col("p"))
+        / F.col("hll_sum_q")
+    )
+    mD = F.col("m").cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * mD) & (F.col("n_zero_regs") > 0),
+        mD * F.log(mD / F.col("n_zero_regs")),
+    ).otherwise(e_raw)
+    return j.select(
+        "event_type",
+        "p",
+        "n_exact",
+        "n_regs_hit",
+        "n_zero_regs",
+        "hll_sum_q",
+        F.floor(est * 1e6).cast("bigint").alias("est_micro"),
+        F.floor(F.abs(est - F.col("n_exact")) / F.col("n_exact") * 1e3)
+        .cast("bigint")
+        .alias("err_permille"),
+    )
+
+
+_HLL_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+         u.p
+  FROM events, UNNEST(ARRAY{list(HLL_PS)}) AS u(p)
+), rr AS (
+  SELECT event_type, p, CAST(POWER(2.0, p) AS BIGINT) AS m,
+         h % CAST(POWER(2.0, p) AS BIGINT) AS reg,
+         h // CAST(POWER(2.0, p) AS BIGINT) AS rest
+  FROM base
+), regs AS (
+  SELECT event_type, p, m, reg,
+         MAX(CASE WHEN rest = 0 THEN 61 - p
+                  ELSE 61 - p - length(bin(rest)) END) AS mx
+  FROM rr GROUP BY 1, 2, 3, 4
+), per AS (
+  SELECT event_type, p, m, COUNT(*) AS n_regs_hit,
+         CAST(SUM(CAST(POWER(2.0, 62 - p - mx) AS BIGINT)) AS BIGINT)
+           AS sum_hit
+  FROM regs GROUP BY 1, 2, 3
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+), j AS (
+  SELECT per.event_type, p, m, n_regs_hit, n_exact,
+         m - n_regs_hit AS n_zero_regs,
+         sum_hit + (m - n_regs_hit) * CAST(POWER(2.0, 62 - p) AS BIGINT)
+           AS hll_sum_q
+  FROM per JOIN exact ON per.event_type = exact.event_type
+), est AS (
+  SELECT *,
+         (CASE WHEN p = 5 THEN CAST('0.697' AS DOUBLE)
+               ELSE CAST('0.7213' AS DOUBLE)
+                    / (1.0 + CAST('1.079' AS DOUBLE) / 256.0) END)
+         * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+         * POWER(2.0, 62 - p) / hll_sum_q AS e_raw
+  FROM j
+), fin AS (
+  SELECT *,
+         CASE WHEN e_raw <= 2.5 * CAST(m AS DOUBLE) AND n_zero_regs > 0
+              THEN CAST(m AS DOUBLE)
+                   * ln(CAST(m AS DOUBLE) / n_zero_regs)
+              ELSE e_raw END AS e
+  FROM est
+)
+SELECT event_type, p, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_regs_hit AS BIGINT) AS n_regs_hit,
+       CAST(n_zero_regs AS BIGINT) AS n_zero_regs,
+       CAST(hll_sum_q AS BIGINT) AS hll_sum_q,
+       CAST(FLOOR(e * 1e6) AS BIGINT) AS est_micro,
+       CAST(FLOOR(ABS(e - n_exact) / n_exact * 1e3) AS BIGINT)
+         AS err_permille
+FROM fin
+"""
+
+
 ROLLING_WINDOW_SEC = 3600
 
 
@@ -974,4 +1133,5 @@ _REGISTRY = {
     "q20_promo_excess_suppliers": (q20_promo_excess_suppliers, _Q20_SQL),
     "q_events_rolling_window": (q_events_rolling_window, _ROLLING_SQL),
     "q_events_variant": (q_events_variant, _VARIANT_SQL),
+    "hll_distinct_census": (hll_distinct_census, _HLL_SQL),
 }
