@@ -181,6 +181,17 @@ def main() -> None:
     timings["extract_density_pipeline"] = round(t_dens, 3)
     extras["density_docs_per_sec"] = round(n_dens / t_dens, 1)
 
+    # third extractor (BTE maximum-subarray window) over the same pages
+    from text_extraction_evaluation_spark.operators.extract import (
+        extract_pages_bte,
+    )
+
+    t0 = time.time()
+    n_bte = extract_pages_bte(latest).count()
+    t_bte = time.time() - t0
+    timings["extract_bte_pipeline"] = round(t_bte, 3)
+    extras["bte_docs_per_sec"] = round(n_bte / t_bte, 1)
+
     # -- headline analytics ---------------------------------------------------
     bench_queries = [
         "q1_pricing_summary",
@@ -256,6 +267,8 @@ def main() -> None:
         "span_churn_census",
         "q18_large_orders",
         "q_events_rolling_window",
+        "hll_distinct_census",
+        "q_events_variant",
     ]
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time

@@ -85,6 +85,7 @@ class Paragraph:
     tags_count: int = 0  # non-empty inline markup boundaries seen
 
     _text: str | None = None
+    _words: list[str] | None = None
 
     @property
     def text(self) -> str:
@@ -94,7 +95,10 @@ class Paragraph:
 
     @property
     def words(self) -> list[str]:
-        return self.text.split()
+        # cached: the classifier reads words for features AND word_count
+        if self._words is None:
+            self._words = self.text.split()
+        return self._words
 
     @property
     def link_density(self) -> float:
@@ -279,6 +283,12 @@ _TAG_RE = re.compile(
 )
 _COMMENT_END_RE = re.compile(r"-->")
 
+# precompiled close-tag patterns for the rawtext elements (hot path:
+# one search per <script>/<style>/... occurrence)
+_RAWTEXT_CLOSE_RES = {
+    t: re.compile(rf"</{t}\s*>", re.I) for t in _RAWTEXT_TAGS
+}
+
 
 def _fast_scan(text: str, core: _SegmenterCore) -> None:
     pos = 0
@@ -328,14 +338,17 @@ def _fast_scan(text: str, core: _SegmenterCore) -> None:
         else:
             core.handle_starttag(tag)
             if tag in _RAWTEXT_TAGS:
-                # opaque content until the matching close tag
-                close = re.search(rf"</{tag}\s*>", text[pos:], re.I)
+                # opaque content until the matching close tag; search
+                # from pos on the original string (slicing the tail
+                # would copy the rest of the document per rawtext
+                # element — O(n) per <script>/<style>)
+                close = _RAWTEXT_CLOSE_RES[tag].search(text, pos)
                 if close is None:
                     core.handle_endtag(tag)  # unterminated: drop rest
                     pos = n
                 else:
                     core.handle_endtag(tag)
-                    pos = pos + close.end()
+                    pos = close.end()
 
 
 def segment(html_text: str, engine: str = "fast") -> list[Paragraph]:
