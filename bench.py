@@ -64,6 +64,87 @@ if __name__ == '__main__':
         return -1.0
 
 
+# Headline analytics benched per round (every name must be a
+# registered SQL_CHECKED entry; tests/test_bench_list.py guards it).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q_nation_revenue",
+    "q_top_customers",
+    "q_events_hourly",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_components",
+    "dedup_simhash",
+    "doc_rolling_fingerprints",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "q_events_asof_join",
+    "quality_filter",
+    "doc_sample_stratified",
+    "doc_containment",
+    "tfidf_top_terms",
+    "quality_repetition",
+    "host_pagerank",
+    "host_domain_cap",
+    "pii_redaction",
+    "boilerplate_line_census",
+    "crawl_content_diff",
+    "lm_perplexity_score",
+    "dsir_importance_weights",
+    "sequence_packing",
+    "line_dedup_clean",
+    "curation_funnel",
+    "semantic_dedup_census",
+    "crawl_bloom_novelty",
+    "quality_classifier_score",
+    "bm25_topk",
+    "bpe_train_merges",
+    "bpe_encode_census",
+    "heavy_hitters_cms",
+    "unicode_nfc_census",
+    "doc_sample_weighted",
+    "pca_power_iteration",
+    "pca_project_census",
+    "leakage_safe_split_census",
+    "outlink_path_census",
+    "template_shape_census",
+    "crawl_novel_shingles",
+    "readability_census",
+    "ann_ivf_recall",
+    "decontamination_clean",
+    "linear_probe_train",
+    "vocab_growth_census",
+    "token_entropy_census",
+    "bigram_lift_topk",
+    "anchor_text_census",
+    "page_encoding_census",
+    "hard_negative_mining",
+    "embedding_sq8_census",
+    "phrase_search_census",
+    "quality_ppl_contingency",
+    "mixture_temperature_plan",
+    "q_event_funnel",
+    "q_retention_cohorts",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "zorder_layout_census",
+    "dedup_jaccard_prefix",
+    "dedup_threshold_sweep",
+    "stopword_discovery",
+    "bm25_mrr_eval",
+    "ann_dim_truncation_recall",
+    "passage_chunk_census",
+    "dedup_banding_sweep",
+    "span_churn_census",
+    "q18_large_orders",
+    "q_events_rolling_window",
+    "hll_distinct_census",
+    "q_events_variant",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -193,83 +274,7 @@ def main() -> None:
     extras["bte_docs_per_sec"] = round(n_bte / t_bte, 1)
 
     # -- headline analytics ---------------------------------------------------
-    bench_queries = [
-        "q1_pricing_summary",
-        "q_nation_revenue",
-        "q_top_customers",
-        "q_events_hourly",
-        "text_quality",
-        "dedup_minhash_lsh",
-        "dedup_minhash_verified",
-        "dedup_components",
-        "dedup_simhash",
-        "doc_rolling_fingerprints",
-        "ann_cosine_topk",
-        "dedup_embedding_cosine",
-        "ann_ivf_topk",
-        "q_events_asof_join",
-        "quality_filter",
-        "doc_sample_stratified",
-        "doc_containment",
-        "tfidf_top_terms",
-        "quality_repetition",
-        "host_pagerank",
-        "host_domain_cap",
-        "pii_redaction",
-        "boilerplate_line_census",
-        "crawl_content_diff",
-        "lm_perplexity_score",
-        "dsir_importance_weights",
-        "sequence_packing",
-        "line_dedup_clean",
-        "curation_funnel",
-        "semantic_dedup_census",
-        "crawl_bloom_novelty",
-        "quality_classifier_score",
-        "bm25_topk",
-        "bpe_train_merges",
-        "bpe_encode_census",
-        "heavy_hitters_cms",
-        "unicode_nfc_census",
-        "doc_sample_weighted",
-        "pca_power_iteration",
-        "pca_project_census",
-        "leakage_safe_split_census",
-        "outlink_path_census",
-        "template_shape_census",
-        "crawl_novel_shingles",
-        "readability_census",
-        "ann_ivf_recall",
-        "decontamination_clean",
-        "linear_probe_train",
-        "vocab_growth_census",
-        "token_entropy_census",
-        "bigram_lift_topk",
-        "anchor_text_census",
-        "page_encoding_census",
-        "hard_negative_mining",
-        "embedding_sq8_census",
-        "phrase_search_census",
-        "quality_ppl_contingency",
-        "mixture_temperature_plan",
-        "q_event_funnel",
-        "q_retention_cohorts",
-        "ann_pq_adc_topk",
-        "ann_ivfpq_topk",
-        "zorder_layout_census",
-        "dedup_jaccard_prefix",
-        "dedup_threshold_sweep",
-        "stopword_discovery",
-        "bm25_mrr_eval",
-        "ann_dim_truncation_recall",
-        "passage_chunk_census",
-        "dedup_banding_sweep",
-        "span_churn_census",
-        "q18_large_orders",
-        "q_events_rolling_window",
-        "hll_distinct_census",
-        "q_events_variant",
-    ]
+    bench_queries = BENCH_QUERIES
     # best of two runs per query: the shared virtualized host has
     # co-tenancy epochs that can multiply a single run's wall time
     # (measured 12x once on an unchanged plan); the min of two runs

@@ -70,6 +70,13 @@ _MARKUP_RE = re.compile(
     re.S,
 )
 
+# precompiled close-tag patterns (hot path: one search per opaque
+# element; compiling inside the scan would cost a regex-cache lookup
+# per occurrence)
+_OPAQUE_CLOSE_RES = {
+    t: re.compile(rf"</{re.escape(t)}\b[^>]*>", re.I) for t in _OPAQUE_TAGS
+}
+
 
 def tokenize(html_text: str) -> tuple[list[str], int]:
     """html -> (word tokens in document order, total tag-token count).
@@ -101,8 +108,7 @@ def _scan(html_text: str):
         name = (m.group(1) or "").lower()
         if name and not m.group(0).startswith("</") and name in _OPAQUE_TAGS:
             # opaque content: skip to the first matching close tag
-            close = re.compile(rf"</{re.escape(name)}\b[^>]*>", re.I)
-            c = close.search(html_text, pos)
+            c = _OPAQUE_CLOSE_RES[name].search(html_text, pos)
             if c is None:
                 return  # unterminated opaque element swallows the tail
             yield None  # the close tag token
