@@ -87,6 +87,15 @@ def main() -> None:
          "window"),
         ("url_canonical_dedup", "pure map-side JVM regex normalization "
          "+ one host hash aggregate; no UDF, no join"),
+        ("scd2_page_history", "SCD-2 interval assembly: ONE url "
+         "exchange + sort feeds all three windows (lag change "
+         "detection, row_number versioning, lead interval close) "
+         "with zero re-shuffle — Catalyst reuses the partitioning "
+         "and ordering across the window chain"),
+        ("doc_sample_group_topk", "two-stage per-group top-k: the "
+         "salted (lang, salt) window fans the skewed language key "
+         "over 8x the tasks; the final per-lang window ranks at most "
+         "8k survivor rows per language"),
         ("host_domain_cap", "per-host quota via rank-limit pushdown: "
          "partial WindowGroupLimit before the exchange bounds what the "
          "hot host ships; census join stays broadcast"),

@@ -77,6 +77,9 @@ REPRESENTATIVE = [
     "q18_large_orders",
     "q20_promo_excess_suppliers",
     "q_events_rolling_window",
+    "scd2_page_history",
+    "q_user_state_scd2",
+    "doc_sample_group_topk",
 ]
 
 

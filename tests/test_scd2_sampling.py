@@ -1,0 +1,102 @@
+"""Semantic invariants for the SCD-2 temporal-table builders and the
+per-group top-k sampler — beyond the DuckDB twins (which pin values),
+these assert the INTERVAL ALGEBRA the operators promise:
+
+* scd2_page_history — every url ends with exactly one open version;
+  closed intervals exist iff the url was recrawled with changed bytes,
+  and on the fixtures each closed interval spans exactly the 86400 s
+  between the two synthetic crawls.
+* q_user_state_scd2 — each user owns exactly one open run (their
+  current state), so the per-state open counts sum to the number of
+  distinct users in the stream.
+* doc_sample_group_topk — the salted two-stage top-k returns exactly
+  the same rows as the naive single-stage rank (the salt is a pure
+  parallelism lever), with contiguous ranks 1..min(k, |group|).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from tests.conftest import SF0001
+
+
+def test_scd2_page_history_interval_algebra(spark):
+    from text_extraction_evaluation_spark.plans.q_webtext import scd2_page_history
+    from text_extraction_evaluation_spark.sources.synth import (
+        SECOND_CRAWL_MOD,
+        SECOND_CRAWL_REM,
+    )
+
+    hist = scd2_page_history(spark, SF0001).collect()
+    n_urls = sum(r.n_urls for r in hist)
+    n_current = sum(r.n_current for r in hist)
+    n_closed = sum(r.n_closed for r in hist)
+    n_versions = sum(r.n_versions for r in hist)
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    n_docs = docs.count()
+    n_recrawled = docs.filter(
+        F.col("doc_id") % SECOND_CRAWL_MOD == SECOND_CRAWL_REM
+    ).count()
+    assert n_urls == n_docs
+    assert n_current == n_urls  # one open version per url
+    assert n_closed == n_recrawled  # template rotation = raw change
+    assert n_versions == n_current + n_closed
+    # each closed interval spans exactly the synthetic 1-day recrawl gap
+    assert sum(r.closed_duration_sec for r in hist) == 86400 * n_closed
+
+
+def test_user_state_scd2_one_open_run_per_user(spark):
+    from text_extraction_evaluation_spark.plans.q_relational import q_user_state_scd2
+
+    census = q_user_state_scd2(spark, SF0001).collect()
+    ev = spark.read.parquet(f"{SF0001}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_open for r in census) == n_users
+    assert sum(r.n_runs for r in census) >= n_users
+    # dwell time only accrues on closed runs; it is non-negative
+    assert all(r.closed_dwell_sec >= 0 for r in census)
+
+
+def test_group_topk_salt_is_semantics_free(spark):
+    from text_extraction_evaluation_spark.plans.q_embedding import (
+        GSAMPLE_K,
+        doc_sample_group_topk,
+    )
+
+    got = doc_sample_group_topk(spark, SF0001)
+    rows = {(r.doc_id, r.lang, r.rank) for r in got.collect()}
+
+    # naive single-stage rank over the same deterministic priorities
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("gsample:"), F.col("doc_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + 1).cast("double") / F.lit(float(1 << 48))
+    lnq = F.round(F.log(u) * 1e9).cast("bigint")
+    pri = (-lnq).cast("double") / F.greatest("n_chars", F.lit(1)).cast("double")
+    w = Window.partitionBy("lang").orderBy(F.asc("priority"), F.asc("doc_id"))
+    naive = (
+        docs.withColumn("priority", pri)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= GSAMPLE_K)
+    )
+    want = {(r.doc_id, r.lang, r.rank) for r in naive.collect()}
+    assert rows == want
+
+    # contiguous ranks 1..min(k, |group|) in every language
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per_lang: dict[str, list[int]] = {}
+    for doc_id, lang, rank in rows:
+        per_lang.setdefault(lang, []).append(rank)
+    for lang, ranks in per_lang.items():
+        assert sorted(ranks) == list(range(1, min(GSAMPLE_K, sizes[lang]) + 1))

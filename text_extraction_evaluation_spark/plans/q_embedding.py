@@ -1580,7 +1580,93 @@ FROM (SELECT DISTINCT query_id FROM trunc_tk) q LEFT JOIN hits h USING (query_id
 """
 
 
+GSAMPLE_K = 20
+_GSAMPLE_SALTS = 8
+
+
+def doc_sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k weighted sample PER GROUP (k docs per language,
+    Efraimidis–Spirakis priorities, length-proportional): the
+    stratified companion to doc_sample_weighted's global top-k —
+    "give me exactly 20 representative docs per language" for eval
+    sets and per-stratum audits. Same engine-portable priority
+    (``-round(ln(u)*1e9)/w`` from an exact dyadic md5 uniform), so
+    the sample is reproducible across runs and engines.
+
+    Scale shape: language is a LOW-CARDINALITY, SKEWED key, so a
+    single rank-window over lang would funnel 100 TB into ~#lang
+    tasks. Instead: two-stage top-k — stage 1 ranks within
+    (lang, salt=md5(doc_id)%8) buckets (8× the parallelism, each
+    bucket's k-smallest is a superset of the global answer), stage 2
+    ranks the surviving 8·k rows per lang. Both stages are windows,
+    but the second touches ≤ 8k rows per language regardless of
+    corpus size. The salt changes nothing semantically (asserted by
+    the single-stage SQL twin matching byte-for-byte)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("gsample:"), F.col("doc_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + 1).cast("double") / F.lit(float(1 << 48))
+    lnq = F.round(F.log(u) * 1e9).cast("bigint")
+    w_chars = F.greatest("n_chars", F.lit(1)).cast("bigint")
+    pri = (-lnq).cast("double") / w_chars.cast("double")
+    salt = md5_int(F.concat(F.lit("gsalt:"), F.col("doc_id").cast("string"))) % (
+        _GSAMPLE_SALTS
+    )
+    staged = docs.select(
+        "doc_id", "lang", w_chars.alias("w_chars"), pri.alias("priority"),
+        salt.alias("salt"),
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy(
+        F.asc("priority"), F.asc("doc_id")
+    )
+    survivors = staged.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= GSAMPLE_K
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.asc("priority"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= GSAMPLE_K)
+        .select(
+            "doc_id",
+            "lang",
+            "w_chars",
+            F.round("priority", 6).alias("priority"),
+            "rank",
+        )
+    )
+
+
+_GSAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, GREATEST(n_chars, 1) AS w_chars,
+         ('0x' || substr(md5('gsample:' || doc_id), 1, 12))::BIGINT AS hv
+  FROM documents
+), k AS (
+  SELECT doc_id, lang, w_chars,
+         CAST(ROUND(ln((hv + 1) / {float(1 << 48)}) * 1e9) AS BIGINT) AS lnq
+  FROM h
+), p AS (
+  SELECT doc_id, lang, CAST(w_chars AS BIGINT) AS w_chars,
+         CAST(-lnq AS DOUBLE) / CAST(w_chars AS DOUBLE) AS priority
+  FROM k
+)
+SELECT doc_id, lang, w_chars, ROUND(priority, 6) AS priority,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id)
+            AS INTEGER) AS rank
+FROM p
+QUALIFY rank <= {GSAMPLE_K}
+"""
+
+
 _REGISTRY = {
+    "doc_sample_group_topk": (doc_sample_group_topk, _GSAMPLE_SQL),
     "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
     "ann_dim_truncation_recall": (
         ann_dim_truncation_recall,

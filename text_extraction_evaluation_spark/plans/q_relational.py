@@ -1112,8 +1112,99 @@ FROM sz JOIN tu USING (layout) JOIN th USING (layout)
 """
 
 
+def q_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-state (SCD-2 style) intervals over the event stream:
+    each user's current state is their latest event_type; collapsing
+    consecutive same-state events yields one row per (user, state
+    run) with ``valid_from`` / ``valid_to`` epochs — the
+    "user-journey-as-intervals" table behind funnel dwell-time and
+    state-transition analytics. Complements scd2_page_history (which
+    builds intervals from crawl snapshots): here the oracle is a
+    DIRECT DuckDB window-SQL twin over the shared events parquet, not
+    an intent-built reconstruction.
+
+    Driver row: per-state census (runs, distinct users, open runs,
+    total closed dwell seconds) plus a 48-bit fingerprint sum over
+    user|state|run_no|valid_from|valid_to pinning every interval.
+
+    Scale shape: ONE shuffle, on user_id; the change-detection lag and
+    the run_no/lead assembly share partitioning+ordering so the
+    exchange and sort are reused; the census is a map-side-combining
+    aggregate over ~#event_types rows. Ties inside a user's history
+    are broken by event_id on both engines, so the interval table is
+    total-order deterministic."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    # ntz -> timestamp -> long = floored epoch seconds (pinned-UTC
+    # session tz; same convention as q_event_sessions)
+    ep = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("prev_state", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("event_type"))
+        )
+        .withColumn("run_no", F.row_number().over(w))
+        .withColumn("ep_from", ep)
+        .withColumn("ep_to", F.lead("ep_from").over(w))
+    )
+    key = F.concat_ws(
+        "|",
+        F.col("user_id").cast("string"),
+        "event_type",
+        F.col("run_no").cast("string"),
+        F.col("ep_from").cast("string"),
+        F.coalesce(F.col("ep_to").cast("string"), F.lit("open")),
+    )
+    from .q_extraction import _fp48
+
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.sum(F.col("ep_to").isNull().cast("bigint")).alias("n_open"),
+        F.sum(F.coalesce(F.col("ep_to") - F.col("ep_from"), F.lit(0)))
+        .cast("bigint")
+        .alias("closed_dwell_sec"),
+        F.sum(_fp48(key)).alias("runs_fp_sum"),
+    )
+
+
+_USER_SCD2_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         lag(event_type) OVER w AS prev_state
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+  -- NOTE: order by the full-precision ts (not floored ep) — events
+  -- carry microseconds, and the Spark side's windows order by ts
+  SELECT user_id, event_type, ep AS ep_from,
+         ROW_NUMBER() OVER w AS run_no,
+         lead(ep) OVER w AS ep_to
+  FROM e
+  WHERE prev_state IS NULL OR prev_state <> event_type
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type,
+       COUNT(*) AS n_runs,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CASE WHEN ep_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(COALESCE(ep_to - ep_from, 0)) AS BIGINT) AS closed_dwell_sec,
+       CAST(SUM(('0x' || substr(md5(
+           CAST(user_id AS VARCHAR) || '|' || event_type || '|'
+             || CAST(run_no AS VARCHAR) || '|'
+             || CAST(ep_from AS VARCHAR) || '|'
+             || COALESCE(CAST(ep_to AS VARCHAR), 'open')
+       ), 1, 12))::BIGINT) AS BIGINT) AS runs_fp_sum
+FROM c
+GROUP BY event_type
+"""
+
+
 _REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "q_user_state_scd2": (q_user_state_scd2, _USER_SCD2_SQL),
     "zorder_layout_census": (zorder_layout_census, _zorder_sql()),
     "q_event_funnel": (q_event_funnel, _FUNNEL_SQL),
     "q_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import md5_int, tokens_col, word_shingles_all
 from .common import _t
@@ -1188,6 +1189,131 @@ FROM (SELECT * FROM uni UNION ALL SELECT * FROM ex)
 GROUP BY path, anchor
 """
 
+# ---------------------------------------------------------------------------
+# SCD-2 page-version history (temporal table construction)
+# ---------------------------------------------------------------------------
+
+
+def scd2_page_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history of every url's raw
+    content: one row per (url, distinct-content version) carrying
+    ``valid_from`` / ``valid_to`` / open-endedness — the warehouse
+    primitive behind "what did this page say on date X" and
+    time-travel joins, built from the crawl log without any MERGE
+    machinery. Change points come from lag(md5(html)) over the url's
+    crawl order; ``valid_to`` is the next change's ``valid_from``
+    (lead), NULL while current.
+
+    The driver row is a per-host census over the interval table —
+    url/version/interval counts, total closed-interval seconds, and a
+    48-bit fingerprint sum over url|version|valid_from|valid_to — so
+    the check pins every interval byte, not just counts.
+
+    Scale shape: ONE shuffle, on url. Both windows (lag for change
+    detection, row_number+lead for interval assembly) share the same
+    partitioning and ordering, so Catalyst reuses the exchange and
+    sort; the final host census is a map-side-combining hash
+    aggregate. Only (url, ts, 32-hex hash) rows move — never html
+    bytes. At 100 TB with a deep crawl history the url key is the
+    natural even partitioner (no hot key: history depth per url is
+    bounded by recrawl policy, not corpus size)."""
+    from ..sources.readers import pages_df
+
+    pages = pages_df(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    host = F.regexp_extract("url", r"^http://([^/]+)/", 1)
+    crawls = pages.select(
+        host.alias("host"), "url", "warc_ts", F.md5("html").alias("raw_h")
+    )
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    changes = crawls.withColumn("prev_h", F.lag("raw_h").over(w)).filter(
+        F.col("prev_h").isNull() | (F.col("prev_h") != F.col("raw_h"))
+    )
+    # ntz -> timestamp -> long is floored epoch seconds under the
+    # pinned-UTC session tz (same convention as q_event_sessions)
+    ep_from = F.col("warc_ts").cast("timestamp").cast("long")
+    hist = (
+        changes.select("host", "url", "warc_ts")
+        .withColumn("version_no", F.row_number().over(w))
+        .withColumn("ep_from", ep_from)
+        .withColumn("ep_to", F.lead("ep_from").over(w))
+    )
+    key = F.concat_ws(
+        "|",
+        "url",
+        F.col("version_no").cast("string"),
+        F.col("ep_from").cast("string"),
+        F.coalesce(F.col("ep_to").cast("string"), F.lit("open")),
+    )
+    return hist.groupBy("host").agg(
+        F.count_distinct(F.col("url")).alias("n_urls"),
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("ep_to").isNull().cast("bigint")).alias("n_current"),
+        F.sum(F.col("ep_to").isNotNull().cast("bigint")).alias("n_closed"),
+        F.sum(F.coalesce(F.col("ep_to") - F.col("ep_from"), F.lit(0)))
+        .cast("bigint")
+        .alias("closed_duration_sec"),
+        F.sum(_fp48(key)).alias("history_fp_sum"),
+    )
+
+
+def _scd2_sql() -> str:
+    from ..sources.synth import (
+        HOT_HOST_SOURCE,
+        N_HOSTS,
+        SECOND_CRAWL_MOD,
+        SECOND_CRAWL_REM,
+    )
+
+    # Intent-built from the synth rules (the oracle cannot re-render the
+    # html bytes): every url has version 1 at BASE_TS + doc_id sec; the
+    # doc_id % 20 == 7 urls are recrawled 86400 s later with a rotated
+    # template, which crawl_content_diff's green oracle already pins as
+    # a RAW-byte change — so those urls carry exactly two versions, the
+    # first closed at the second's valid_from, the second open.
+    return f"""
+WITH v AS (
+  SELECT CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END AS host,
+         'http://' || host || '/' || CAST(doc_id AS VARCHAR) AS url,
+         1 AS version_no,
+         CAST(floor(epoch(TIMESTAMP '2024-01-01')) AS BIGINT) + doc_id AS ep_from,
+         CASE WHEN doc_id % {SECOND_CRAWL_MOD} = {SECOND_CRAWL_REM}
+              THEN CAST(floor(epoch(TIMESTAMP '2024-01-01')) AS BIGINT)
+                   + doc_id + 86400
+         END AS ep_to
+  FROM documents
+  UNION ALL
+  SELECT CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END AS host,
+         'http://' || host || '/' || CAST(doc_id AS VARCHAR) AS url,
+         2 AS version_no,
+         CAST(floor(epoch(TIMESTAMP '2024-01-01')) AS BIGINT)
+           + doc_id + 86400 AS ep_from,
+         NULL AS ep_to
+  FROM documents
+  WHERE doc_id % {SECOND_CRAWL_MOD} = {SECOND_CRAWL_REM}
+)
+SELECT host,
+       COUNT(DISTINCT url) AS n_urls,
+       COUNT(*) AS n_versions,
+       CAST(SUM(CASE WHEN ep_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current,
+       CAST(SUM(CASE WHEN ep_to IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_closed,
+       CAST(SUM(COALESCE(ep_to - ep_from, 0)) AS BIGINT) AS closed_duration_sec,
+       CAST(SUM(('0x' || substr(md5(
+           url || '|' || CAST(version_no AS VARCHAR) || '|'
+               || CAST(ep_from AS VARCHAR) || '|'
+               || COALESCE(CAST(ep_to AS VARCHAR), 'open')
+       ), 1, 12))::BIGINT) AS BIGINT) AS history_fp_sum
+FROM v
+GROUP BY host
+"""
+
 
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
 _REGISTRY = {
@@ -1204,4 +1330,5 @@ _REGISTRY = {
     "crawl_bloom_novelty": (crawl_bloom_novelty, _bloom_novelty_sql()),
     "boilerplate_line_census": (boilerplate_line_census, _LINE_CENSUS_SQL),
     "line_dedup_clean": (line_dedup_clean, _LINE_CLEAN_SQL),
+    "scd2_page_history": (scd2_page_history, _scd2_sql()),
 }
