@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "pii_redaction",
     "boilerplate_line_census",
     "crawl_content_diff",
+    "scd2_page_history",
     "lm_perplexity_score",
     "dsir_importance_weights",
     "sequence_packing",

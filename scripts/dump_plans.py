@@ -87,6 +87,11 @@ def main() -> None:
          "window"),
         ("url_canonical_dedup", "pure map-side JVM regex normalization "
          "+ one host hash aggregate; no UDF, no join"),
+        ("extractor_bootstrap_ci", "Poisson bootstrap: per-(doc, "
+         "replicate) weights computed map-side from a keyed hash and "
+         "partially aggregated before the shuffle — the only rows "
+         "that move are (dataset, replicate) partial sums, never a "
+         "resampled corpus"),
         ("scd2_page_history", "SCD-2 interval assembly: ONE url "
          "exchange + sort feeds all three windows (lag change "
          "detection, row_number versioning, lead interval close) "

@@ -240,6 +240,48 @@ def main() -> None:
             srows.append((ds, len(g), w, lo, t, z))
         print(f"SIGN_TEST[{n_docs}] = {srows}")
 
+        # Poisson-bootstrap CI over the paired per-doc F1 diff —
+        # integer-exact twin of plans.q_extraction.extractor_bootstrap_ci:
+        # floored micro-unit diffs, literal Poisson(1) thresholds on a
+        # 48-bit md5 uniform, truncating bigint division per replicate.
+        from text_extraction_evaluation_spark.plans.q_extraction import (
+            _BOOT_B,
+            _BOOT_HI_RANK,
+            _BOOT_LO_RANK,
+            _BOOT_THRESH,
+        )
+
+        def tdiv(a: int, b: int) -> int:
+            q = abs(a) // abs(b)
+            return -q if (a < 0) != (b < 0) else q
+
+        def u48(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+        brows = []
+        for ds, g in m.groupby("dataset"):
+            d_q6 = {
+                url: math.floor((fj - fd) * 1e6)
+                for url, fj, fd in zip(g["url"], g["f1_j"], g["f1_d"], strict=True)
+            }
+            point = tdiv(sum(d_q6.values()), len(d_q6))
+            means = []
+            for b in range(_BOOT_B):
+                sum_wd = sum_w = 0
+                for url, dq in d_q6.items():
+                    u = u48(f"boot:{url}:{b}")
+                    w = sum(1 for t in _BOOT_THRESH if t <= u)
+                    sum_wd += w * dq
+                    sum_w += w
+                means.append(tdiv(sum_wd, sum_w) if sum_w > 0 else 0)
+            srt = sorted(means)
+            brows.append((
+                ds, len(d_q6), _BOOT_B, point,
+                srt[_BOOT_LO_RANK - 1], srt[_BOOT_HI_RANK - 1],
+                sum(1 for v in means if v > 0),
+            ))
+        print(f"BOOTSTRAP_CI[{n_docs}] = {brows}")
+
         # exact-integer report: per (extractor, dataset) status counts,
         # floor(1e9 * metric) sums over ok docs, and micro token counters
         # — the flagship report in a driver-hashable (all-integer) form

@@ -80,6 +80,7 @@ REPRESENTATIVE = [
     "scd2_page_history",
     "q_user_state_scd2",
     "doc_sample_group_topk",
+    "extractor_bootstrap_ci",
 ]
 
 

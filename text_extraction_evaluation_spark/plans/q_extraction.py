@@ -501,6 +501,163 @@ def extractor_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Poisson(1) cdf thresholds on a 48-bit uniform: weight w(url, b) =
+# #{k : u48 >= T_k}, k = 0..8 (P(w > 9) < 1e-7, capped). LITERAL ints
+# shared by the Spark plan, the frozen-oracle script, and any ANSI
+# twin, so both engines draw the identical resample counts.
+_BOOT_THRESH = (
+    103548857136060, 207097714272121, 258872142840152, 276130285696162,
+    280444821410164, 281307728552965, 281451546410098, 281472091818260,
+    281474659994280,
+)
+_BOOT_B = 200  # replicates; CI ranks below assume this
+_BOOT_LO_RANK = 5    # ceil(0.025 * 200)
+_BOOT_HI_RANK = 195  # ceil(0.975 * 200)
+
+
+def extractor_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP confidence interval for the mean per-doc F1
+    difference between the two extractors (justext − textdensity) —
+    the uncertainty the sign test's z only gestures at. Classic
+    resampling draws n docs with replacement per replicate, which is
+    a corpus-wide shuffle per replicate and unusable at 100 TB; the
+    Poisson bootstrap replaces it with an independent Poisson(1)
+    weight per (doc, replicate) computed MAP-SIDE from a keyed hash —
+    one pass, no resampling shuffle, and the only rows that move are
+    the (dataset, replicate) partial sums. This is the standard
+    large-scale bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012).
+
+    Cross-engine determinism is integer-exact end to end: per-doc F1
+    doubles are bitwise-deterministic (tests/test_parity.py), diffs
+    are floored to micro-units BEFORE any sum, Poisson counts come
+    from literal integer thresholds on a 48-bit md5 uniform, and each
+    replicate mean is a truncating bigint division — so the frozen
+    oracle (scripts/freeze_fingerprints.py, same arithmetic in pure
+    pandas) matches to the last digit. Irrational/rounding hazards
+    never arise.
+
+    Output per dataset: n docs paired, the point estimate, the
+    [2.5%, 97.5%] replicate-mean order statistics (all micro-F1
+    units), and how many of the 200 replicate means are positive —
+    200/200 reads "justext better with near-certainty"."""
+    from ..operators.score import score_extracted
+    from ..sources.readers import gold_df
+
+    gold = gold_df(spark, sf_dir)
+    j = score_extracted(_extracted(spark, sf_dir), gold, extractor="justext_spark")
+    d = score_extracted(
+        _extracted_density(spark, sf_dir), gold, extractor="textdensity"
+    )
+    jok = j.filter(F.col("status") == "ok").select(
+        "url", "dataset", F.col("f1").alias("f1_j")
+    )
+    dok = d.filter(F.col("status") == "ok").select(
+        "url", "dataset", F.col("f1").alias("f1_d")
+    )
+    paired = jok.join(dok, ["url", "dataset"]).select(
+        "url",
+        "dataset",
+        F.floor((F.col("f1_j") - F.col("f1_d")) * 1e6)
+        .cast("bigint")
+        .alias("d_q6"),
+    )
+    point = paired.groupBy("dataset").agg(
+        F.count(F.lit(1)).alias("n_paired"),
+        F.expr("sum(d_q6) div count(1)").alias("point_q6"),
+    )
+
+    b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    reps = paired.select("url", "dataset", "d_q6", b)
+    u48 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"), F.col("url"), F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    thresh = F.array(*[F.lit(t).cast("bigint") for t in _BOOT_THRESH])
+    w = F.size(F.filter(thresh, lambda t: t <= u48)).cast("bigint")
+    per_rep = (
+        reps.select("dataset", "b", "d_q6", w.alias("w"))
+        .groupBy("dataset", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("d_q6")).alias("sum_wd"),
+            F.sum("w").alias("sum_w"),
+        )
+        .select(
+            "dataset",
+            "b",
+            F.when(F.col("sum_w") > 0, F.expr("sum_wd div sum_w"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("mean_q6"),
+        )
+    )
+    rw = Window.partitionBy("dataset").orderBy(F.asc("mean_q6"), F.asc("b"))
+    ranked = per_rep.withColumn("rn", F.row_number().over(rw))
+    ci = ranked.groupBy("dataset").agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.max(F.when(F.col("rn") == _BOOT_LO_RANK, F.col("mean_q6"))).alias(
+            "ci_lo_q6"
+        ),
+        F.max(F.when(F.col("rn") == _BOOT_HI_RANK, F.col("mean_q6"))).alias(
+            "ci_hi_q6"
+        ),
+        F.sum((F.col("mean_q6") > 0).cast("bigint")).alias("n_pos_replicates"),
+    )
+    return point.join(ci, "dataset").select(
+        "dataset",
+        "n_paired",
+        "n_replicates",
+        "point_q6",
+        "ci_lo_q6",
+        "ci_hi_q6",
+        "n_pos_replicates",
+    )
+
+
+# frozen from scripts/freeze_fingerprints.py (pandas oracle, identical
+# integer arithmetic); keyed by the fixture's event count like
+# _SIGN_TEST_CONST: 1000 = sf0.001, 10000 = sf0.01
+_BOOTSTRAP_CI_CONST: dict[int, list[tuple]] = {
+    1000: [
+        ("cleaneval", 138, 200, 61405, 26648, 96521, 200),
+        ("googlenews", 143, 200, 57562, 30156, 85141, 200),
+    ],
+    10000: [
+        ("cleaneval", 139, 200, 63976, 32421, 94395, 200),
+        ("googlenews", 135, 200, 76837, 40818, 114320, 200),
+    ],
+}
+
+
+def _bootstrap_ci_sql() -> str:
+    rows = ",\n  ".join(
+        f"({n_ev}, '{ds}', CAST({n_p} AS BIGINT), CAST({n_r} AS BIGINT), "
+        f"CAST({pt} AS BIGINT), CAST({lo} AS BIGINT), CAST({hi} AS BIGINT), "
+        f"CAST({np} AS BIGINT))"
+        for n_ev, rs in _BOOTSTRAP_CI_CONST.items()
+        for (ds, n_p, n_r, pt, lo, hi, np) in rs
+    )
+    return f"""
+SELECT dataset, n_paired, n_replicates, point_q6, ci_lo_q6, ci_hi_q6,
+       n_pos_replicates
+FROM (VALUES
+  {rows}
+) t(n_events, dataset, n_paired, n_replicates, point_q6, ci_lo_q6, ci_hi_q6,
+    n_pos_replicates)
+WHERE n_events = (SELECT COUNT(*) FROM events)
+"""
+
+
 def span_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-over-crawl PARAGRAPH churn census: for every recrawled
     url, diff the paragraph multisets of the oldest vs newest crawl
@@ -2070,6 +2227,7 @@ _REGISTRY = {
     "bte_text_fingerprint": (bte_text_fingerprint, _BTE_FP_SQL),
     "extractor_ranking": (extractor_ranking, _extractor_ranking_sql()),
     "extractor_sign_test": (extractor_sign_test, _sign_test_sql()),
+    "extractor_bootstrap_ci": (extractor_bootstrap_ci, _bootstrap_ci_sql()),
     "span_churn_census": (span_churn_census, _span_churn_sql()),
     "kmeans_embeddings": (kmeans_embeddings, _kmeans_sql()),
     "pca_power_iteration": (pca_power_iteration, _pca_sql()),
