@@ -81,6 +81,7 @@ REPRESENTATIVE = [
     "q_user_state_scd2",
     "doc_sample_group_topk",
     "extractor_bootstrap_ci",
+    "scd2_incremental_census",
 ]
 
 

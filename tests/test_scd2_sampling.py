@@ -59,6 +59,62 @@ def test_user_state_scd2_one_open_run_per_user(spark):
     assert all(r.closed_dwell_sec >= 0 for r in census)
 
 
+def _log_df(spark, rows):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            ("h.example", url, dt.datetime(2024, 1, 1) + dt.timedelta(hours=t), h)
+            for url, t, h in rows
+        ],
+        "host string, url string, warc_ts timestamp, raw_h string",
+    )
+
+
+def test_scd2_merge_equals_rebuild_multi_change(spark):
+    from text_extraction_evaluation_spark.operators.temporal import (
+        build_scd2,
+        merge_scd2_increment,
+    )
+
+    # url A: 4 crawls, hash pattern h1 h1 h2 h3 (one no-op recrawl, two
+    # changes); url B: single crawl; url C: born inside the increment
+    # with an immediate change
+    log = [
+        ("A", 0, "h1"), ("A", 1, "h1"), ("A", 2, "h2"), ("A", 3, "h3"),
+        ("B", 0, "hb"),
+        ("C", 5, "hc1"), ("C", 6, "hc2"),
+    ]
+    full = _log_df(spark, log)
+    first = _log_df(spark, [r for r in log if r[1] == 0])
+    delta = _log_df(spark, [r for r in log if r[1] > 0])
+
+    rebuilt = {tuple(r) for r in build_scd2(full).collect()}
+    merged_df = merge_scd2_increment(build_scd2(first), delta)
+    merged = {tuple(r) for r in merged_df.collect()}
+    assert merged == rebuilt
+    # spot-check the interval algebra: A has 3 versions, the no-op
+    # recrawl at t=1 created none; C's first version is closed
+    a = sorted(r for r in merged if r[1] == "A")
+    assert [v[2] for v in a] == [1, 2, 3]
+    assert a[0][5] is not None and a[2][5] is None
+    c = sorted(r for r in merged if r[1] == "C")
+    assert len(c) == 2 and c[0][5] is not None and c[1][5] is None
+
+
+def test_scd2_merge_drops_late_arrivals(spark):
+    from text_extraction_evaluation_spark.operators.temporal import (
+        build_scd2,
+        merge_scd2_increment,
+    )
+
+    hist = build_scd2(_log_df(spark, [("A", 5, "h1")]))
+    late = _log_df(spark, [("A", 2, "h0"), ("A", 5, "h1b")])
+    merged = merge_scd2_increment(hist, late).collect()
+    # both increment rows are at-or-before the open version -> no-op
+    assert {tuple(r) for r in merged} == {tuple(r) for r in hist.collect()}
+
+
 def test_group_topk_salt_is_semantics_free(spark):
     from text_extraction_evaluation_spark.plans.q_embedding import (
         GSAMPLE_K,

@@ -1239,6 +1239,14 @@ def scd2_page_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ep_from", ep_from)
         .withColumn("ep_to", F.lead("ep_from").over(w))
     )
+    return _history_census(hist)
+
+
+def _history_census(hist: DataFrame) -> DataFrame:
+    """Per-host census + interval fingerprint over an SCD-2 interval
+    table (host, url, version_no, ep_from, ep_to) — shared by the
+    from-scratch and incremental-merge queries so both are pinned by
+    the SAME oracle."""
     key = F.concat_ws(
         "|",
         "url",
@@ -1256,6 +1264,40 @@ def scd2_page_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("closed_duration_sec"),
         F.sum(_fp48(key)).alias("history_fp_sum"),
     )
+
+
+def scd2_incremental_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD-2 maintenance, end to end: seed the history
+    from each url's FIRST crawl only (operators.temporal.build_scd2),
+    fold every later crawl in as an increment
+    (operators.temporal.merge_scd2_increment), and census the merged
+    history. The oracle is the SAME intent-built SQL as
+    scd2_page_history — merge-then-census must equal
+    rebuild-then-census, which is the operator's correctness
+    contract (also asserted row-level in tests/test_scd2_sampling.py
+    with a multi-change synthetic delta).
+
+    Scale shape: the merge touches only the increment's url groups —
+    closed intervals pass through untouched, open rows of absent urls
+    leave via one broadcast anti-join; the window stage's input is
+    ~2|Δ| rows. This is the per-crawl-batch upsert path a warehouse
+    actually runs (vs scd2_page_history's full rebuild)."""
+    from ..operators.temporal import build_scd2, merge_scd2_increment
+    from ..sources.readers import pages_df
+
+    pages = pages_df(
+        spark, sf_dir, n_partitions=spark.sparkContext.defaultParallelism
+    )
+    host = F.regexp_extract("url", r"^http://([^/]+)/", 1)
+    crawls = pages.select(
+        host.alias("host"), "url", "warc_ts", F.md5("html").alias("raw_h")
+    )
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    ranked = crawls.withColumn("crawl_no", F.row_number().over(w))
+    first = ranked.filter(F.col("crawl_no") == 1).drop("crawl_no")
+    later = ranked.filter(F.col("crawl_no") > 1).drop("crawl_no")
+    merged = merge_scd2_increment(build_scd2(first), later)
+    return _history_census(merged)
 
 
 def _scd2_sql() -> str:
@@ -1331,4 +1373,5 @@ _REGISTRY = {
     "boilerplate_line_census": (boilerplate_line_census, _LINE_CENSUS_SQL),
     "line_dedup_clean": (line_dedup_clean, _LINE_CLEAN_SQL),
     "scd2_page_history": (scd2_page_history, _scd2_sql()),
+    "scd2_incremental_census": (scd2_incremental_census, _scd2_sql()),
 }
