@@ -82,6 +82,7 @@ REPRESENTATIVE = [
     "doc_sample_group_topk",
     "extractor_bootstrap_ci",
     "scd2_incremental_census",
+    "quantile_sample_audit",
 ]
 
 

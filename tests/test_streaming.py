@@ -586,3 +586,82 @@ def test_stream_stream_interval_join_equals_batch_twin(spark, tmp_path_factory):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == want
+
+
+def test_scd2_stream_equals_batch_twin(spark, tmp_path_factory):
+    """Streaming<->batch contract for scd2_pages_stream: on an ordered
+    replay with the crawl generations in SEPARATE micro-batches (state
+    must cross the batch boundary), closed rows + the latest progress
+    row per url reconstruct exactly the batch build_scd2 interval
+    table."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from text_extraction_evaluation_spark.operators.temporal import build_scd2
+    from text_extraction_evaluation_spark.sources.readers import pages_df
+    from text_extraction_evaluation_spark.streaming.stream import (
+        read_pages_stream,
+        scd2_pages_stream,
+    )
+
+    base = tmp_path_factory.mktemp("scd2_twin")
+    src = base / "pages"
+    src.mkdir()
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    pages = pages_df(spark, SF0001, n_partitions=4).cache()
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    ranked = pages.withColumn("rn", F.row_number().over(w))
+    for i, gen in enumerate(
+        [ranked.filter("rn = 1").drop("rn"), ranked.filter("rn > 1").drop("rn")]
+    ):
+        tmp = str(base / f"gen{i}")
+        gen.coalesce(1).write.parquet(tmp)
+        part = next(
+            p
+            for p in os.listdir(tmp)
+            if p.endswith(".parquet") and p.startswith("part")
+        )
+        dst = src / f"{i:02d}.parquet"
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    q = (
+        scd2_pages_stream(read_pages_stream(spark, str(src), max_files_per_trigger=1))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir).toPandas()
+    got = set()
+    for url, grp in out.groupby("url"):
+        for r in grp[grp.closed].itertuples():
+            got.add((r.host, url, int(r.version_no), r.raw_h,
+                     int(r.ep_from), int(r.ep_to)))
+        live = grp[~grp.closed]
+        final = live.sort_values("version_no").iloc[-1]
+        got.add((final.host, url, int(final.version_no), final.raw_h,
+                 int(final.ep_from), None))
+
+    host = F.regexp_extract("url", r"^http://([^/]+)/", 1)
+    crawls = pages.select(
+        host.alias("host"), "url", "warc_ts", F.md5("html").alias("raw_h")
+    )
+    want = {
+        (r.host, r.url, r.version_no, r.raw_h, r.ep_from,
+         None if r.ep_to is None else int(r.ep_to))
+        for r in build_scd2(crawls).collect()
+    }
+    pages.unpersist()
+    assert got == want
+    # genuinely multi-version: the fixtures recrawl ~5% of urls with
+    # changed bytes, so closed intervals must exist
+    assert any(t[5] is not None for t in got)

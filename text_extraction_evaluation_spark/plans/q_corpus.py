@@ -3109,7 +3109,87 @@ FROM ranked WHERE rank <= {STOPWORD_DISCOVERY_TOPK}
 
 
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
+QSAMP_MOD = 16  # 1/16 deterministic hash-sample rate
+
+
+def quantile_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-vs-exact percentile AUDIT — the companion
+    corpus_length_percentiles' docstring promises: at 100 TB you
+    estimate quantiles from a sample (or an engine-specific sketch)
+    because a full sort-based percentile shuffles the corpus; this
+    query computes BOTH the exact per-language p50/p90/p99 and the
+    same percentiles over a deterministic 1/16 md5 hash-sample, and
+    reports the absolute errors. On the big cluster you keep the
+    sample column and drop the exact one; the audit row is how you
+    decide the sample rate is safe.
+
+    Scale shape: sample membership is a map-side hash test (no RNG
+    state, reproducible across engines and runs); the sampled
+    percentile's sort touches 1/16 of the rows. Exact and sampled
+    aggregates share one lang shuffle (same grouping key, one
+    aggregate over conditional inputs)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    in_samp = (
+        md5_int(F.concat(F.lit("qsamp:"), F.col("doc_id").cast("string")))
+        % QSAMP_MOD
+        == 0
+    )
+    samp_chars = F.when(in_samp, F.col("n_chars"))
+
+    def pair(p: float, name: str) -> list:
+        return [
+            F.round(F.percentile("n_chars", F.lit(p)), 4).alias(f"{name}_exact"),
+            F.round(F.percentile(samp_chars, F.lit(p)), 4).alias(f"{name}_samp"),
+        ]
+
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(in_samp.cast("bigint")).alias("n_sampled"),
+        *pair(0.5, "p50"),
+        *pair(0.9, "p90"),
+        *pair(0.99, "p99"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_sampled",
+        "p50_exact",
+        "p50_samp",
+        "p90_exact",
+        "p90_samp",
+        F.round(F.abs(F.col("p50_samp") - F.col("p50_exact")), 4).alias("p50_err"),
+        F.round(F.abs(F.col("p90_samp") - F.col("p90_exact")), 4).alias("p90_err"),
+        F.round(F.abs(F.col("p99_samp") - F.col("p99_exact")), 4).alias("p99_err"),
+    )
+
+
+_QSAMP_AUDIT_SQL = f"""
+WITH d AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5('qsamp:' || doc_id), 1, 15))::BIGINT % {QSAMP_MOD} = 0
+           AS in_samp
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN in_samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(CASE WHEN in_samp THEN n_chars END, 0.5), 4)
+         AS p50_samp,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_exact,
+       ROUND(quantile_cont(CASE WHEN in_samp THEN n_chars END, 0.9), 4)
+         AS p90_samp,
+       ROUND(ABS(ROUND(quantile_cont(CASE WHEN in_samp THEN n_chars END, 0.5), 4)
+                 - ROUND(quantile_cont(n_chars, 0.5), 4)), 4) AS p50_err,
+       ROUND(ABS(ROUND(quantile_cont(CASE WHEN in_samp THEN n_chars END, 0.9), 4)
+                 - ROUND(quantile_cont(n_chars, 0.9), 4)), 4) AS p90_err,
+       ROUND(ABS(ROUND(quantile_cont(CASE WHEN in_samp THEN n_chars END, 0.99), 4)
+                 - ROUND(quantile_cont(n_chars, 0.99), 4)), 4) AS p99_err
+FROM d GROUP BY lang
+"""
+
+
 _REGISTRY = {
+    "quantile_sample_audit": (quantile_sample_audit, _QSAMP_AUDIT_SQL),
     "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
     "text_quality": (text_quality, _TEXT_QUALITY_SQL),
     "doc_fingerprint": (doc_fingerprint, _FINGERPRINT_SQL),

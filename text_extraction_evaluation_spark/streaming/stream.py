@@ -349,6 +349,90 @@ def heavy_hitters_stream(
     )
 
 
+SCD2_OUT_SCHEMA = (
+    "url string, host string, version_no int, raw_h string, "
+    "ep_from long, ep_to long, closed boolean"
+)
+SCD2_STATE_SCHEMA = "version_no int, raw_h string, ep_from long, host string"
+
+
+def scd2_pages_stream(pages_stream: DataFrame) -> DataFrame:
+    """STREAMING SCD-2 maintenance: the live twin of
+    ``operators.temporal.merge_scd2_increment`` — per-url state holds
+    the OPEN version (version_no, raw_h, ep_from); each micro-batch
+    emits every newly-CLOSED interval (closed=true) plus one progress
+    row for the current open version (closed=false). Closed rows +
+    the latest progress row per url reconstruct exactly the batch
+    ``build_scd2`` table on ordered replay
+    (tests/test_streaming.py::test_scd2_stream_equals_batch_twin,
+    with the crawl history split across micro-batches so state
+    genuinely crosses batch boundaries).
+
+    Same event-time contract as the batch merge: a row at or before
+    the open version's ``ep_from`` is a late history rewrite and is
+    dropped; a recrawl whose bytes did not change is a no-op (no new
+    version). Epochs are floored seconds, the repo-wide convention.
+
+    State contract: one small fixed-width row per url that never
+    expires — SCD-2 keeps every url's current version forever, so
+    this operator's memory is O(#urls), NOT bounded by a watermark
+    horizon. At 10^12 urls you run it per crawl-shard (url-hash
+    partitioned checkpoint) or periodically flush the state into the
+    catalog and reseed via the batch merge — the documented
+    batch/stream split, same stance as the sessionizer's backfill
+    note."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = pages_stream.select(
+        "url",
+        F.regexp_extract("url", r"^http://([^/]+)/", 1).alias("host"),
+        "warc_ts",
+        F.md5("html").alias("raw_h"),
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (url,) = key
+        cols = [
+            "url", "host", "version_no", "raw_h", "ep_from", "ep_to", "closed",
+        ]
+        if state.exists:
+            vno, cur_h, ep_from, host = state.get
+        else:
+            vno, cur_h, ep_from, host = 0, None, None, None
+        rows: list[tuple] = []
+        batch = sorted(
+            (
+                (int(pd.Timestamp(t).value // 1_000_000_000), h, hs)
+                for pdf in pdfs
+                if len(pdf)
+                for t, h, hs in zip(pdf["warc_ts"], pdf["raw_h"], pdf["host"])
+                if pd.notna(t)
+            ),
+        )
+        for ep, h, hs in batch:
+            if cur_h is None:
+                vno, cur_h, ep_from, host = 1, h, ep, hs
+            elif ep > ep_from and h != cur_h:
+                rows.append((url, host, vno, cur_h, ep_from, ep, True))
+                vno, cur_h, ep_from = vno + 1, h, ep
+            # else: late rewrite or byte-identical recrawl -> no-op
+        if cur_h is None:
+            return  # every row was null-ts and no prior state
+        state.update((vno, cur_h, ep_from, host))
+        rows.append((url, host, vno, cur_h, ep_from, None, False))
+        yield pd.DataFrame(rows, columns=cols)
+
+    return keyed.groupBy("url").applyInPandasWithState(
+        fold,
+        outputStructType=SCD2_OUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 __all__ = [
     "EXTRACT_SCHEMA",
     "read_pages_stream",
@@ -358,4 +442,5 @@ __all__ = [
     "windowed_status_counts",
     "sessionize_events_stream",
     "heavy_hitters_stream",
+    "scd2_pages_stream",
 ]
