@@ -83,6 +83,8 @@ REPRESENTATIVE = [
     "extractor_bootstrap_ci",
     "scd2_incremental_census",
     "quantile_sample_audit",
+    "q10_returned_items",
+    "q_event_transitions",
 ]
 
 

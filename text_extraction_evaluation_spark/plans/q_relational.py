@@ -1202,9 +1202,126 @@ GROUP BY event_type
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to RETURNED items per customer
+    over one quarter — top 20 customers. The canonical
+    fact⋈fact⋈two-dims reporting join: lineitem⋈orders is the single
+    wide dependency (bucket both on orderkey at 100 TB — the layout
+    test_bucketing proves zero-exchange); customer and nation
+    broadcast; the returnflag and quarter filters are pushed to the
+    scans so the wide join sees only returned lines of one quarter.
+    Top-20 via TakeOrderedAndProject, never a global sort."""
+    cutoff_lo, cutoff_hi = "1997-01-01", "1997-04-01"
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue,
+       ROUND(MAX(c_acctbal), 2) AS c_acctbal
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order state-TRANSITION matrix over the event stream: for
+    every (from_state, to_state) pair of consecutive events within a
+    user's history, the count and the row-normalized transition
+    probability (micro-units) — the Markov-chain view behind journey
+    modeling and anomaly detection, and the natural consumer of
+    q_user_state_scd2's runs.
+
+    Scale shape: ONE shuffle on user_id for the lag window, then a
+    map-side-combining aggregate onto the tiny (#states²) matrix; the
+    probability normalization is a second window over the matrix rows
+    themselves (≤ #states² rows), not over events. Ties inside a
+    user's history are broken by event_id on both engines.
+
+    Determinism: probabilities are integer micro-units via bigint
+    arithmetic (n * 1000000 div row_total), never a double ratio."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("from_state", F.lag("event_type").over(w)).filter(
+        F.col("from_state").isNotNull()
+    )
+    mat = pairs.groupBy(
+        "from_state", F.col("event_type").alias("to_state")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_state")
+    return mat.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.expr("n * 1000000 div sum(n) over (partition by from_state)")
+        .cast("bigint")
+        .alias("p_q6"),
+    ).withColumn("row_total", F.sum("n").over(wrow).cast("bigint"))
+
+
+_TRANSITIONS_SQL = """
+WITH p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_state,
+         event_type AS to_state
+  FROM events
+), m AS (
+  SELECT from_state, to_state, COUNT(*) AS n
+  FROM p WHERE from_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_state) AS BIGINT)
+         AS p_q6,
+       CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) AS row_total
+FROM m
+"""
+
+
 _REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "q_user_state_scd2": (q_user_state_scd2, _USER_SCD2_SQL),
+    "q10_returned_items": (q10_returned_items, _Q10_SQL),
+    "q_event_transitions": (q_event_transitions, _TRANSITIONS_SQL),
     "zorder_layout_census": (zorder_layout_census, _zorder_sql()),
     "q_event_funnel": (q_event_funnel, _FUNNEL_SQL),
     "q_retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
