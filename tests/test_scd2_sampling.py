@@ -102,6 +102,43 @@ def test_scd2_merge_equals_rebuild_multi_change(spark):
     assert len(c) == 2 and c[0][5] is not None and c[1][5] is None
 
 
+def test_scd2_merge_equals_rebuild_randomized(spark):
+    """Property check, 200 independent url histories in ONE Spark run
+    (each url group is its own case): random hash sequences (runs of
+    repeats, changes, alternations), random history depth 1..8, and a
+    random per-url seed/increment SPLIT POINT — merge(build(seed),
+    delta) must equal build(full) for every url."""
+    import random
+
+    from text_extraction_evaluation_spark.operators.temporal import (
+        build_scd2,
+        merge_scd2_increment,
+    )
+
+    rng = random.Random(42)
+    log, seed_rows, delta_rows = [], [], []
+    for u in range(200):
+        url = f"u{u}"
+        depth = rng.randint(1, 8)
+        # first `split` crawls seed the history; split=0 => the url is
+        # born inside the increment, split=depth => untouched pass-through
+        split = rng.randint(0, depth)
+        h = rng.randint(1, 3)
+        for t in range(depth):
+            # 50% chance the recrawl changed bytes
+            if t and rng.random() < 0.5:
+                h = h + 1 if rng.random() < 0.7 else h - 1
+            row = (url, t, f"h{h}")
+            log.append(row)
+            (seed_rows if t < split else delta_rows).append(row)
+
+    rebuilt = {tuple(r) for r in build_scd2(_log_df(spark, log)).collect()}
+    merged = merge_scd2_increment(
+        build_scd2(_log_df(spark, seed_rows)), _log_df(spark, delta_rows)
+    )
+    assert {tuple(r) for r in merged.collect()} == rebuilt
+
+
 def test_scd2_merge_drops_late_arrivals(spark):
     from text_extraction_evaluation_spark.operators.temporal import (
         build_scd2,
