@@ -85,6 +85,7 @@ REPRESENTATIVE = [
     "quantile_sample_audit",
     "q10_returned_items",
     "q_event_transitions",
+    "table_profile_census",
 ]
 
 

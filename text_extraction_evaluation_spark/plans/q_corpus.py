@@ -3188,8 +3188,60 @@ FROM d GROUP BY lang
 """
 
 
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def table_profile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS per-column data profiler over the documents table —
+    the ANALYZE/data-quality census every ingestion run materializes
+    before trusting a new drop: per column, null count, exact distinct
+    count, lexicographic min/max of the string form, and mean
+    string-form length. All 5 columns profile in a SINGLE aggregate
+    row (25 agg expressions share one scan; count_distinct expands to
+    the standard two-phase distinct aggregate), which is then turned
+    into one row per column with ``unpivot``-style struct explode —
+    the profile never rescans the table per column, the property that
+    matters when the table is 100 TB.
+
+    Determinism: min/max compare the raw strings binary-wise in both
+    engines; mean length is an exact-integer sum over a fixed count,
+    rounded to 4dp."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def metrics(c: str):
+        s = F.col(c).cast("string")
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias("n_null"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.min(s).alias("min_s"),
+            F.max(s).alias("max_s"),
+            F.round(F.avg(F.length(s)), 4).alias("avg_len"),
+        )
+
+    one = docs.agg(F.array(*[metrics(c) for c in _PROFILE_COLS]).alias("m"))
+    return one.select(F.explode("m").alias("p")).select("p.*")
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS column, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_s,
+       MAX(CAST({c} AS VARCHAR)) AS max_s,
+       ROUND(AVG(LENGTH(CAST({c} AS VARCHAR))), 4) AS avg_len
+FROM documents"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 _REGISTRY = {
     "quantile_sample_audit": (quantile_sample_audit, _QSAMP_AUDIT_SQL),
+    "table_profile_census": (table_profile_census, _profile_sql()),
     "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
     "text_quality": (text_quality, _TEXT_QUALITY_SQL),
     "doc_fingerprint": (doc_fingerprint, _FINGERPRINT_SQL),
