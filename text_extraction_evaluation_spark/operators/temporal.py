@@ -68,19 +68,27 @@ def build_scd2(crawls: DataFrame) -> DataFrame:
     return _intervals(changed.drop("prev_h"), F.lit(0))
 
 
-def merge_scd2_increment(history: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_scd2_increment(
+    history: DataFrame, delta: DataFrame, broadcast_delta: bool = True
+) -> DataFrame:
     """Fold delta(host, url, warc_ts, raw_h) into an existing SCD-2
     history; returns the updated history, equal to rebuilding from the
     concatenated log (asserted in tests/test_scd2_sampling.py).
 
     Only the increment's url groups are windowed; everything else is
-    a pass-through union."""
+    a pass-through union. ``broadcast_delta`` hints the increment's
+    url set onto the open-rows anti/semi joins — right for the normal
+    per-crawl-batch Δ ≪ history case; pass False for a full-recrawl
+    increment so AQE picks a shuffle join instead of shipping an
+    oversized url set to every executor."""
     closed = history.filter(F.col("ep_to").isNotNull())
     open_rows = history.filter(F.col("ep_to").isNull())
     delta_urls = delta.select("url").distinct()
+    if broadcast_delta:
+        delta_urls = F.broadcast(delta_urls)
 
-    untouched_open = open_rows.join(F.broadcast(delta_urls), "url", "left_anti")
-    touched_open = open_rows.join(F.broadcast(delta_urls), "url", "left_semi")
+    untouched_open = open_rows.join(delta_urls, "url", "left_anti")
+    touched_open = open_rows.join(delta_urls, "url", "left_semi")
 
     d = delta.select(
         "host",
@@ -95,8 +103,10 @@ def merge_scd2_increment(history: DataFrame, delta: DataFrame) -> DataFrame:
         F.col("ep_from").alias("cur_ep"),
         F.col("version_no").alias("cur_version"),
     )
+    if broadcast_delta:
+        cur_ep = F.broadcast(cur_ep)
     d = (
-        d.join(F.broadcast(cur_ep), "url", "left")
+        d.join(cur_ep, "url", "left")
         .filter(F.col("cur_ep").isNull() | (F.col("ep_from") > F.col("cur_ep")))
         .drop("cur_ep", "cur_version")
     )
