@@ -291,8 +291,18 @@ understates the job's true scaling:
 
 Reproduce: `python scripts/scaling_bench.py`.
 """
-    with open(bench_dir / f"BASELINE{suffix}.md", "w") as f:
-        f.write(md)
+    # Regenerate ONLY the measured-evidence header; hand-curated
+    # analysis sections (every "## ..." block — stage breakdowns,
+    # disclosed side runs, the N->4N curve) survive the rewrite.
+    out_path = bench_dir / f"BASELINE{suffix}.md"
+    curated = ""
+    if out_path.exists():
+        old = out_path.read_text()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            curated = old[idx:]
+    with open(out_path, "w") as f:
+        f.write(md + curated)
     print(json.dumps(result))
 
 
