@@ -78,6 +78,10 @@ def main() -> None:
         ("host_pagerank", "iterative graph rank as composed DataFrame "
          "ops: per iteration one edge-list equi-join on src + one dst "
          "hash aggregate — no cartesian product, no driver actions"),
+        ("textrank_keywords", "TextRank over the token co-occurrence "
+         "graph: the out-weight window reuses the (u,v) aggregate's "
+         "exchange, then the same one-join-one-aggregate PageRank step "
+         "per iteration as host_pagerank — zero driver actions"),
         ("quality_repetition", "Gopher repetition metrics entirely "
          "map-side: higher-order array expressions, no explode, no "
          "shuffle — a pure scan-project plan"),

@@ -86,6 +86,7 @@ REPRESENTATIVE = [
     "q10_returned_items",
     "q_event_transitions",
     "table_profile_census",
+    "textrank_keywords",
 ]
 
 

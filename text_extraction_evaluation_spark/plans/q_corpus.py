@@ -1898,6 +1898,137 @@ WHERE term_rank <= 5
 """
 
 
+# TextRank (Mihalcea & Tarau 2004) constants: the published damping
+# d = 0.85 as the exact integer pair 85/100; ranks live in micro-units
+# so the whole power iteration is BIGINT-exact in both engines.
+TEXTRANK_ITERS = 5
+TEXTRANK_SCALE = 1_000_000
+TEXTRANK_TOPK = 25
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: weighted PageRank over the token
+    co-occurrence graph (Mihalcea & Tarau 2004). Nodes = lowercased
+    corpus vocabulary, edges = adjacent-token pairs (symmetrized,
+    weight = adjacency count, self-loops dropped), 5 damped power
+    iterations, top-25 keywords. This is the iterative
+    graph-centrality family in its text-native form — the identical
+    operator shape runs host-level PageRank over a crawl's link graph
+    (``outlink_path_census`` builds those edges); only the edge
+    derivation differs.
+
+    Scale shape: edges are one explode -> (u, v) hash aggregate with
+    map-side combine; the out-weight rides a window over the SAME u
+    partitioning (exchange reused, no second shuffle). Each iteration
+    is one rank⋈edges equi-join on the node key plus one (v) hash
+    aggregate — the canonical distributed PageRank step: at web scale
+    the rank table is vocabulary/host-sized, so the join shuffles both
+    sides on the node key (a production run persists ``edges``
+    bucketed by u so only ranks move per iteration; here the unrolled
+    lineage keeps the query a pure DataFrame composition with zero
+    driver actions, like ``kmeans_embeddings``). The final top-k is a
+    distributed TakeOrdered, then a rank window over only the
+    surviving k rows.
+
+    Determinism: ranks are BIGINT micro-units; each edge contribution
+    is ``(w * r) DIV outw`` and the damped update is
+    ``0.15*SCALE + (85 * sum) DIV 100`` — truncating integer division
+    and order-independent BIGINT sums in both engines. Every node of
+    the symmetrized graph has >= 1 in-edge, so the per-iteration
+    aggregate covers the whole node set and no outer join is needed."""
+    docs = _docs_par(spark, sf_dir)
+    from .q_lm import _bigram_structs
+
+    adj = (
+        docs.select(
+            F.explode(_bigram_structs(tokens_col(F.lower(F.col("text"))))).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    sym = adj.select(F.col("w1").alias("u"), F.col("w2").alias("v")).unionAll(
+        adj.select(F.col("w2").alias("u"), F.col("w1").alias("v"))
+    )
+    edges = (
+        sym.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("outw", F.sum("w").over(Window.partitionBy("u")))
+    )
+    base = 15 * TEXTRANK_SCALE // 100
+    ranks = (
+        edges.select("u")
+        .distinct()
+        .withColumn("r", F.lit(TEXTRANK_SCALE).cast("bigint"))
+    )
+    for _ in range(TEXTRANK_ITERS):
+        contrib = edges.join(ranks, "u").select(
+            "v", F.expr("(w * r) DIV outw").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("v")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("v").alias("u"),
+                F.expr(f"CAST({base} + (85 * s) DIV 100 AS BIGINT)").alias("r"),
+            )
+        )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    top = (
+        ranks.join(deg, "u")
+        .orderBy(F.desc("r"), F.asc("u"))
+        .limit(TEXTRANK_TOPK)
+    )
+    wtop = Window.orderBy(F.desc("r"), F.asc("u"))
+    return top.select(
+        F.col("u").alias("token"),
+        "degree",
+        F.col("r").alias("score_q6"),
+        F.row_number().over(wtop).alias("kw_rank"),
+    )
+
+
+def _textrank_sql(
+    iters: int = TEXTRANK_ITERS,
+    scale: int = TEXTRANK_SCALE,
+    topk: int = TEXTRANK_TOPK,
+) -> str:
+    base = 15 * scale // 100
+    step = (
+        "SELECT e.v AS u, CAST({base} + (85 * SUM((e.w * r.r) // e.outw)) // 100"
+        " AS BIGINT) AS r FROM edges e JOIN r{i} r USING (u) GROUP BY e.v"
+    )
+    iter_ctes = ",\n".join(
+        f"r{i + 1} AS ({step.format(base=base, i=i)})" for i in range(iters)
+    )
+    return f"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT unnest([{{'w1': w[i], 'w2': w[i+1]}} for i in range(1, len(w))]) AS b
+  FROM t WHERE len(w) >= 2
+), adj AS (
+  SELECT b.w1 AS w1, b.w2 AS w2 FROM bg WHERE b.w1 <> b.w2
+), sym AS (
+  SELECT w1 AS u, w2 AS v FROM adj
+  UNION ALL
+  SELECT w2 AS u, w1 AS v FROM adj
+), edges AS (
+  SELECT u, v, COUNT(*) AS w, SUM(COUNT(*)) OVER (PARTITION BY u) AS outw
+  FROM sym GROUP BY u, v
+), r0 AS (
+  SELECT DISTINCT u, CAST({scale} AS BIGINT) AS r FROM edges
+),
+{iter_ctes},
+deg AS (SELECT u, COUNT(*) AS degree FROM edges GROUP BY u)
+SELECT token, degree, score_q6, kw_rank FROM (
+  SELECT r.u AS token, d.degree AS degree, r.r AS score_q6,
+         ROW_NUMBER() OVER (ORDER BY r.r DESC, r.u) AS kw_rank
+  FROM r{iters} r JOIN deg d USING (u)
+)
+WHERE kw_rank <= {topk}
+"""
+
+
 # Decontamination: 8-token shingles (the n-gram length common in
 # published decontamination pipelines — long enough that shared
 # shingles imply copying, not phrase reuse).
@@ -3261,6 +3392,7 @@ _REGISTRY = {
     "lang_distribution": (lang_distribution, _LANG_DIST_SQL),
     "doc_containment": (doc_containment, _CONTAINMENT_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
+    "textrank_keywords": (textrank_keywords, _textrank_sql()),
     "bpe_pair_census": (bpe_pair_census, _BPE_PAIR_SQL),
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
     "heavy_hitters_cms": (heavy_hitters_cms, _CMS_SQL),
