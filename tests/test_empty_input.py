@@ -87,6 +87,7 @@ REPRESENTATIVE = [
     "q_event_transitions",
     "table_profile_census",
     "textrank_keywords",
+    "host_triangle_census",
 ]
 
 

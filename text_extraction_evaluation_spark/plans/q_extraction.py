@@ -2003,6 +2003,172 @@ GROUP BY host
 """
 
 
+# Clustering-coefficient quantization: per-mille, truncating division.
+TRI_CC_SCALE = 1000
+
+
+def host_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the host
+    link graph — the graph-structure signal next to ``host_pagerank``'s
+    centrality: hosts whose neighborhoods interlink (high clustering)
+    are communities/mirror farms; hosts with many neighbors but no
+    closed wedges are hubs/aggregators. Emits one row per host:
+    undirected degree, triangle count, and the local clustering
+    coefficient ``2·T / (deg·(deg−1))`` in exact per-mille units.
+
+    Scale shape — the canonical degree-ordered wedge join (the
+    MapReduce triangle algorithm of Suri & Vassilvitskii 2011 /
+    Cohen 2009): orient every undirected edge from the
+    (degree, host)-SMALLER endpoint to the larger, so each triangle is
+    counted exactly once and every wedge is generated at its
+    lowest-degree apex. That bounds wedge generation at O(m^1.5)
+    total and — the skew story — the planted hot host
+    ('skew.example', the highest-degree node) generates ZERO wedges:
+    all its edges point INTO it, so the one node that would explode a
+    naive neighbor self-join contributes nothing to the join fan-out.
+    Physically: one (u) equi-self-join builds wedges, one (v,w)
+    equi-join closes them, one union+aggregate censuses per-host
+    counts — no cartesian product, no windows, no driver actions.
+
+    Determinism: counts are BIGINT; the coefficient is truncating
+    integer division (Spark ``DIV`` == DuckDB ``//``) at per-mille
+    scale, so both engines produce identical integers."""
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    src = F.when(
+        F.col("source") == HOT_HOST_SOURCE, F.lit("skew.example")
+    ).otherwise(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % N_HOSTS).cast("string"),
+            F.lit(".example"),
+        )
+    )
+    dst = F.concat(
+        F.lit("host"),
+        ((F.col("doc_id") * PR_EDGE_MULT + PR_EDGE_ADD) % N_HOSTS).cast("string"),
+        F.lit(".example"),
+    )
+    und = (
+        docs.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionAll(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Orient a->b iff (deg_a, a) < (deg_b, b): each triangle appears
+    # exactly once as wedge (u->v, u->w) + closing edge (v->w).
+    da = deg.select(F.col("host").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("host").alias("b"), F.col("degree").alias("degb"))
+    lt = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    directed = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lt, F.col("degb")).otherwise(F.col("dega")).alias("degv"),
+        )
+    )
+    e1 = directed.select("u", "v", "degv")
+    e2 = directed.select(
+        F.col("u").alias("u2"), F.col("v").alias("w"), F.col("degv").alias("degw")
+    )
+    wedges = (
+        e1.join(e2, F.col("u") == F.col("u2"))
+        .filter(
+            (F.col("degv") < F.col("degw"))
+            | ((F.col("degv") == F.col("degw")) & (F.col("v") < F.col("w")))
+        )
+        .select("u", "v", "w")
+    )
+    closing = directed.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])
+    per_host = (
+        tris.select(F.col("u").alias("host"))
+        .unionAll(tris.select(F.col("v").alias("host")))
+        .unionAll(tris.select(F.col("w").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_host, "host", "left")
+        .select(
+            "host",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    f"(CAST(2 * {TRI_CC_SCALE} AS BIGINT)"
+                    " * coalesce(n_triangles, 0))"
+                    " DIV (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("clustering_permille"),
+        )
+    )
+
+
+def _triangle_sql() -> str:
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    return f"""
+WITH e0 AS (
+  SELECT CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END AS s,
+         'host' || CAST((doc_id * {PR_EDGE_MULT} + {PR_EDGE_ADD}) % {N_HOSTS} AS VARCHAR)
+           || '.example' AS d
+  FROM documents
+), und AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0
+  WHERE s <> d
+), deg AS (
+  SELECT host, COUNT(*) AS degree FROM (
+    SELECT a AS host FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY host
+), directed AS (
+  SELECT CASE WHEN (da.degree, a) < (db.degree, b) THEN a ELSE b END AS u,
+         CASE WHEN (da.degree, a) < (db.degree, b) THEN b ELSE a END AS v,
+         CASE WHEN (da.degree, a) < (db.degree, b)
+              THEN db.degree ELSE da.degree END AS degv
+  FROM und
+  JOIN deg da ON da.host = und.a
+  JOIN deg db ON db.host = und.b
+), tris AS (
+  SELECT e1.u, e1.v, e2.v AS w
+  FROM directed e1
+  JOIN directed e2 ON e1.u = e2.u
+    AND (e1.degv, e1.v) < (e2.degv, e2.v)
+  JOIN directed c ON c.u = e1.v AND c.v = e2.v
+), per_host AS (
+  SELECT host, COUNT(*) AS n_triangles FROM (
+    SELECT u AS host FROM tris
+    UNION ALL SELECT v FROM tris
+    UNION ALL SELECT w FROM tris
+  ) GROUP BY host
+)
+SELECT deg.host AS host, CAST(degree AS BIGINT) AS degree,
+       CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN degree >= 2
+            THEN (2 * {TRI_CC_SCALE} * COALESCE(n_triangles, 0))
+                 // (degree * (degree - 1))
+            ELSE 0 END AS BIGINT) AS clustering_permille
+FROM deg LEFT JOIN per_host ON per_host.host = deg.host
+"""
+
+
 # ---------------------------------------------------------------------------
 # PCA top component via power iteration (integer-exact, like k-means)
 # ---------------------------------------------------------------------------
@@ -2243,6 +2409,7 @@ _REGISTRY = {
     "q_events_props_map": (q_events_props_map, _EVENTS_PROPS_MAP_SQL),
     "host_skew_census": (host_skew_census, _host_census_sql()),
     "host_pagerank": (host_pagerank, _pagerank_sql()),
+    "host_triangle_census": (host_triangle_census, _triangle_sql()),
     "url_canonical_dedup": (url_canonical_dedup, _url_canonical_sql()),
     "host_domain_cap": (host_domain_cap, _domain_cap_sql()),
 }
