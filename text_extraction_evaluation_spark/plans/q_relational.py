@@ -1317,8 +1317,475 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H breadth batch (round 3): Q7/Q8/Q9/Q13/Q14/Q15/Q17/Q19/Q22 shapes
+# adapted to the fixture star schema (no partsupp, no commit/receipt
+# dates, no phone column — each adaptation is noted per query).
+# ---------------------------------------------------------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flow between every
+    (supplier nation, customer nation) pair by ship year. Two dim
+    chains hang off lineitem — supplier→nation and orders→customer→
+    nation — so the only big shuffle is lineitem⋈orders on orderkey;
+    supplier, customer, and nation all broadcast. Generalized from the
+    reference query's fixed two-nation filter to all cross-nation
+    pairs (the fixture has 25 synthetic nations, not TPC-H's names);
+    the two-year ship-date filter is kept so the predicate pushes into
+    the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND ns.n_name <> nc.n_name
+)
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of all PROMO-type parts
+    sold to customers in ASIA, what fraction of revenue per order year
+    was supplied by each supplier nation. The share is emitted as an
+    exact integer — revenue in ten-thousandths (DECIMAL(·,4) after the
+    price*discount multiply) converts losslessly to BIGINT, and the
+    share is integer-divided per ppm — so the twin never compares
+    engine-summed doubles. Adaptation: fixture p_type has no
+    'PROMO BRUSHED' subtypes, so the filter is the whole PROMO class;
+    share is reported per supplier nation instead of one fixed nation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat_c = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    sold = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), cust.c_nationkey == nat_c.n_nationkey)
+        .join(F.broadcast(region), nat_c.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), supp.s_nationkey == nat_s.s_nk)
+        .groupBy("o_year", "supp_nation")
+        .agg((F.sum(rev) * F.lit(10000)).cast("bigint").alias("rev_q4"))
+    )
+    # `div`, not `/`: BIGINT / BIGINT in Spark is a DOUBLE divide, and
+    # rev_q4 * 1e6 exceeds 2^53 well below target scale — the truncated
+    # double would drift off DuckDB's exact integer `//` by one ulp.
+    return sold.select(
+        "o_year",
+        "supp_nation",
+        "rev_q4",
+        F.expr(
+            "rev_q4 * 1000000L div sum(rev_q4) over (partition by o_year)"
+        ).alias("share_ppm"),
+    )
+
+
+_Q8_SQL = """
+WITH sold AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, ns.n_name AS supp_nation,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+              * 10000 AS BIGINT) AS rev_q4
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT o_year, supp_nation, rev_q4,
+       CAST(rev_q4 * 1000000 // SUM(rev_q4) OVER (PARTITION BY o_year) AS BIGINT)
+         AS share_ppm
+FROM sold
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    per order year for parts whose name contains 'widget'. Adaptation:
+    the fixture has no partsupp/supplycost, so profit is the
+    discounted revenue term of the reference formula (the join
+    topology — lineitem ⋈ part substring filter ⋈ supplier ⋈ nation ⋈
+    orders — is what the shape exercises). The contains-filter prunes
+    part BEFORE the broadcast, so the fact scan joins a small dim."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum(rev).cast("double").alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS sum_profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND contains(p_name, 'widget')
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join customer→orders so zero-order customers survive with count 0,
+    then a histogram of customers per order count. Two aggregations —
+    the first groups the (larger) join output by custkey, the second
+    is a tiny re-agg of at most a few hundred distinct counts.
+    Adaptation: no o_comment in the fixture, so the reference's
+    'not like %special%requests%' filter is dropped."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue per supplier over one
+    ship quarter, then keep the supplier(s) whose revenue equals the
+    global max — the reference expresses this as a view + scalar
+    subquery; here the max is an empty-frame window over the (tiny)
+    per-supplier aggregate, which AQE executes as a single-partition
+    exchange of ~#suppliers rows, never touching the fact table twice.
+    Revenue compares as exact BIGINT ten-thousandths, so 'equals max'
+    cannot be broken by double summation order."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        (F.sum(rev) * F.lit(10000)).cast("bigint").alias("total_revenue_q4")
+    )
+    mx = F.max("total_revenue_q4").over(Window.partitionBy())
+    top = per_supp.withColumn("mx", mx).filter(
+        F.col("total_revenue_q4") == F.col("mx")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue_q4"
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+              * 10000 AS BIGINT) AS total_revenue_q4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue_q4
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue_q4 = (SELECT MAX(total_revenue_q4) FROM revenue)
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): for one brand,
+    the average yearly revenue lost if orders below 20% of that part's
+    mean quantity were not taken. The fractional threshold is made
+    EXACT by cross-multiplying integers: qty < 0.2 * (sum_q / n)
+    ⟺ 5 * qty * n < sum_q, with all three terms BIGINT — no
+    double-rounded boundary rows between engines. The per-part means
+    come from a self-aggregate of the brand's lineitems only (filter
+    first, aggregate the small side, broadcast it back)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        "l_extendedprice",
+    )
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "q", "l_extendedprice"
+    )
+    stats = brand_li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n_q")
+    )
+    small = brand_li.join(
+        F.broadcast(stats), brand_li.l_partkey == stats.pk
+    ).filter(F.lit(5) * F.col("q") * F.col("n_q") < F.col("sum_q"))
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")) * F.lit(100)).cast("bigint").alias(
+            "total_price_cents"
+        ),
+        F.count(F.lit(1)).alias("n_small"),
+    ).select(
+        "total_price_cents",
+        "n_small",
+        # integer divide AFTER the lossless cents cast: decimal/7 would
+        # round at Spark's result scale while DuckDB's // floors
+        F.expr("total_price_cents div 7").alias("avg_yearly_cents"),
+    )
+
+
+_Q17_SQL = """
+WITH brand_li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+), stats AS (
+  SELECT l_partkey AS pk, SUM(q) AS sum_q, COUNT(*) AS n_q
+  FROM brand_li GROUP BY 1
+)
+SELECT total_price_cents, n_small,
+       total_price_cents // 7 AS avg_yearly_cents
+FROM (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS total_price_cents,
+         COUNT(*) AS n_small
+  FROM brand_li JOIN stats ON l_partkey = pk
+  WHERE 5 * q * n_q < sum_q
+)
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    revenue over an OR of three (brand, size-range, quantity-range)
+    conjunctions. The point of the shape is predicate handling — the
+    join key equality stays conjunctive (usable by the hash join)
+    while the OR-of-ANDs lands as a post-join filter; per-branch
+    row counts are emitted so the twin checks each disjunct, not just
+    the blended sum. Adaptation: fixture lacks shipmode/shipinstruct,
+    so those clauses are dropped."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("q").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 10)
+        & F.col("q").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(1, 15)
+        & F.col("q").between(20, 30)
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    return j.filter(b1 | b2 | b3).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(b1.cast("bigint")).alias("n_branch1"),
+        F.sum(b2.cast("bigint")).alias("n_branch2"),
+        F.sum(b3.cast("bigint")).alias("n_branch3"),
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items,
+       SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS n_branch1,
+       SUM(CASE WHEN b2 THEN 1 ELSE 0 END) AS n_branch2,
+       SUM(CASE WHEN b3 THEN 1 ELSE 0 END) AS n_branch3
+FROM (
+  SELECT l_extendedprice, l_discount,
+         (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
+            AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)  AS b1,
+         (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+            AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20) AS b2,
+         (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+            AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30) AS b3
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+WHERE b1 OR b2 OR b3
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance and NO orders, bucketed into bands.
+    Adaptation: the fixture has no c_phone, so the country-code
+    substring becomes a deterministic key band (c_custkey % 7). The
+    'above average' boundary is exact: balances compare as BIGINT
+    cents cross-multiplied by the population count (bal*100*n >
+    sum_cents) instead of against a double AVG. The no-orders probe is
+    a LEFT ANTI join; the scalar aggregate broadcasts as a one-row
+    frame (shows as BroadcastNestedLoopJoin in the plan, but with a
+    single-row build side — the wanted scalar-subquery shape, same as
+    the q_lm/q_corpus scalar joins)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 7).cast("bigint").alias("band"),
+        (_dec("c_acctbal") * F.lit(100)).cast("bigint").alias("bal_cents"),
+    )
+    pos = cust.filter(F.col("bal_cents") > 0)
+    stats = pos.agg(
+        F.sum("bal_cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_pos")
+    )
+    rich = pos.crossJoin(F.broadcast(stats)).filter(
+        F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("band").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_cents").alias("totacctbal_cents"),
+    )
+
+
+_Q22_SQL = """
+WITH pos AS (
+  SELECT c_custkey, CAST(c_custkey % 7 AS BIGINT) AS band,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+), stats AS (
+  SELECT SUM(bal_cents) AS sum_cents, COUNT(*) AS n_pos FROM pos
+)
+SELECT band, COUNT(*) AS numcust, SUM(bal_cents) AS totacctbal_cents
+FROM pos, stats
+WHERE bal_cents * n_pos > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY band
+"""
+
+
 _REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
+    "q8_market_share": (q8_market_share, _Q8_SQL),
+    "q9_product_profit": (q9_product_profit, _Q9_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
+    "q17_small_quantity": (q17_small_quantity, _Q17_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
+    "q22_dormant_customers": (q22_dormant_customers, _Q22_SQL),
     "q_user_state_scd2": (q_user_state_scd2, _USER_SCD2_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q_event_transitions": (q_event_transitions, _TRANSITIONS_SQL),
