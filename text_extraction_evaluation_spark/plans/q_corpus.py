@@ -3370,7 +3370,128 @@ FROM documents"""
     return " UNION ALL ".join(parts)
 
 
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality calibration: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (matching signature components / 16)
+    side-by-side with the EXACT 3-gram Jaccard — the measurement that
+    justifies the banding thresholds dedup_banding_sweep tunes. All
+    three outputs are exact integers (ppm via BIGINT div), so the twin
+    check cannot flap on float summation.
+
+    Scale shape: signatures are computed once per doc (linear pass),
+    candidates come from the banded equi-join (never all-pairs), and
+    both the signature table and the shingle sets join back onto the
+    candidate list by doc id — candidate-bounded work, the same
+    discipline as dedup_minhash_verified."""
+    docs = _docs_par(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", word_shingles(tokens_col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hs = sh.select("doc_id", "sh", F.transform("sh", md5_int).alias("h"))
+    # single-arg lambda, seed via closure: a 2-arg lambda would be read
+    # by F.transform as (element, INDEX) and xor with the position
+    sig = hs.select("doc_id", "sh", *[
+        F.array_min(
+            F.transform("h", lambda x: x.bitwiseXOR(F.lit(seed)))
+        ).alias(f"s{i}")
+        for i, seed in enumerate(MINHASH_SEEDS)
+    ])
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[
+                    F.col(f"s{b * MINHASH_ROWS_PER_BAND + r}").cast("string")
+                    for r in range(MINHASH_ROWS_PER_BAND)
+                ])
+            ).alias("band_key"),
+        )
+        for b in range(MINHASH_BANDS)
+    ])
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    from ..operators.dedup import candidate_pairs
+
+    cand = candidate_pairs(bands)
+    n_sig = len(MINHASH_SEEDS)
+    a = sig.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(n_sig)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(n_sig)],
+    )
+    j = cand.join(a, "doc_id_a").join(b, "doc_id_b")
+    matches = reduce(
+        operator.add,
+        [(F.col(f"a{i}") == F.col(f"b{i}")).cast("bigint") for i in range(n_sig)],
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("bigint") - inter
+    return (
+        j.select(
+            "doc_id_a",
+            "doc_id_b",
+            matches.alias("sig_matches"),
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+        )
+        .withColumn("est_ppm", F.expr(f"sig_matches * 1000000L div {n_sig}"))
+        .withColumn("jaccard_ppm", F.expr("n_inter * 1000000L div n_union"))
+        .withColumn("err_ppm", F.abs(F.col("est_ppm") - F.col("jaccard_ppm")))
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    n_sig = len(MINHASH_SEEDS)
+    cand = _minhash_sql()
+    match_terms = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(n_sig)
+    )
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(h, x -> xor(x, {seed}::BIGINT))) AS s{i}"
+        for i, seed in enumerate(MINHASH_SEEDS)
+    )
+    return f"""
+WITH cand AS ({cand}),
+tt AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), shc AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+  FROM tt WHERE len(w) >= 3
+), hsc AS (
+  SELECT doc_id, s, list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h FROM shc
+), sigc AS (
+  SELECT doc_id, s,
+    {sig_exprs}
+  FROM hsc
+), m AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         CAST({match_terms} AS BIGINT) AS sig_matches,
+         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+         CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS BIGINT)
+           AS n_union
+  FROM cand c
+  JOIN sigc sa ON sa.doc_id = c.doc_id_a
+  JOIN sigc sb ON sb.doc_id = c.doc_id_b
+)
+SELECT doc_id_a, doc_id_b, sig_matches, n_inter, n_union,
+       sig_matches * 1000000 // {n_sig} AS est_ppm,
+       n_inter * 1000000 // n_union AS jaccard_ppm,
+       abs(sig_matches * 1000000 // {n_sig} - n_inter * 1000000 // n_union)
+         AS err_ppm
+FROM m
+"""
+
+
 _REGISTRY = {
+    "dedup_minhash_calibration": (
+        dedup_minhash_calibration,
+        _minhash_calibration_sql(),
+    ),
     "quantile_sample_audit": (quantile_sample_audit, _QSAMP_AUDIT_SQL),
     "table_profile_census": (table_profile_census, _profile_sql()),
     "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),

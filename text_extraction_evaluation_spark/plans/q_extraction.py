@@ -2383,7 +2383,121 @@ FROM v{iters}
 
 
 # -- module registry (merged into plans.queries.SQL_CHECKED) ----------------
+LP_ITERS = 3
+
+
+def host_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the host graph via synchronous label
+    propagation (Raghavan et al. 2007): every host starts as its own
+    label; each round it adopts the label with the largest total edge
+    weight among its undirected neighbors, ties broken by the smaller
+    label string — a fully deterministic variant, so the unrolled-CTE
+    oracle reproduces it exactly. The crawl-side use is grouping
+    mirror/mutual-link host clusters before domain capping.
+
+    Scale shape (same discipline as host_pagerank): per round, one
+    equi-join of the edge list with the label table on the neighbor
+    key and one (host, label) hash aggregate, then a row_number over
+    (host) to pick the argmax — labels are one row per host (orders of
+    magnitude smaller than edges), no driver actions, no all-pairs.
+    Self-loops are dropped (LPA adopts NEIGHBOR labels); hosts whose
+    edges were all self-loops keep their previous label through the
+    left-join coalesce."""
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    src = F.when(
+        F.col("source") == HOT_HOST_SOURCE, F.lit("skew.example")
+    ).otherwise(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % N_HOSTS).cast("string"),
+            F.lit(".example"),
+        )
+    )
+    dst = F.concat(
+        F.lit("host"),
+        ((F.col("doc_id") * PR_EDGE_MULT + PR_EDGE_ADD) % N_HOSTS).cast("string"),
+        F.lit(".example"),
+    )
+    directed = docs.select(src.alias("src"), dst.alias("dst"))
+    und = (
+        directed.union(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = und.select(F.col("src").alias("host")).distinct()
+    labels = nodes.select("host", F.col("host").alias("label"))
+    w_arg = Window.partitionBy("n_host").orderBy(
+        F.desc("wsum"), F.asc("label")
+    )
+    for _ in range(LP_ITERS):
+        nb = und.join(labels, und.dst == labels.host).select(
+            F.col("src").alias("n_host"), "label", "w"
+        )
+        upd = (
+            nb.groupBy("n_host", "label")
+            .agg(F.sum("w").alias("wsum"))
+            .withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select("n_host", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(upd, labels.host == upd.n_host, "left")
+            .select(
+                "host", F.coalesce("new_label", "label").alias("label")
+            )
+        )
+    return labels.select("host", F.col("label").alias("community"))
+
+
+def _label_prop_sql() -> str:
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    pre = f"""
+WITH e0 AS (
+  SELECT CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END AS src,
+         'host' || CAST((doc_id * {PR_EDGE_MULT} + {PR_EDGE_ADD}) % {N_HOSTS} AS VARCHAR)
+           || '.example' AS dst
+  FROM documents
+), und AS (
+  SELECT src, dst, COUNT(*) AS w FROM (
+    SELECT src, dst FROM e0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e0
+  ) WHERE src <> dst GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT src AS host FROM und
+), l0 AS (
+  SELECT host, host AS label FROM nodes
+)"""
+    its = []
+    for i in range(LP_ITERS):
+        its.append(f""", upd{i} AS (
+  SELECT src AS n_host, label AS new_label FROM (
+    SELECT und.src, l{i}.label, SUM(w) AS wsum,
+           row_number() OVER (PARTITION BY und.src
+                              ORDER BY SUM(w) DESC, l{i}.label) AS rn
+    FROM und JOIN l{i} ON und.dst = l{i}.host
+    GROUP BY und.src, l{i}.label
+  ) WHERE rn = 1
+), l{i + 1} AS (
+  SELECT l{i}.host, COALESCE(new_label, label) AS label
+  FROM l{i} LEFT JOIN upd{i} ON upd{i}.n_host = l{i}.host
+)""")
+    return (
+        pre
+        + "".join(its)
+        + f"\nSELECT host, label AS community FROM l{LP_ITERS}\n"
+    )
+
+
 _REGISTRY = {
+    "host_label_propagation": (host_label_propagation, _label_prop_sql()),
     "extract_text_fingerprint": (extract_text_fingerprint, _TEXT_FP_SQL),
     "extract_spans_fingerprint": (extract_spans_fingerprint, _SPANS_FP_SQL),
     "doc_scores_fingerprint": (doc_scores_fingerprint, _SCORES_FP_SQL),

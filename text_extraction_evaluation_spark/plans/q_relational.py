@@ -1776,6 +1776,134 @@ GROUP BY band
 """
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for 'F'
+    orders, blame the supplier who is the ONLY one with returned
+    ('R') lineitems while at least one other supplier served the same
+    order cleanly. The reference's correlated EXISTS / NOT EXISTS pair
+    becomes a LEFT SEMI + LEFT ANTI join on the orderkey with a
+    supplier-inequality residual — both stay equi-joins on l_orderkey
+    (the residual filters inside the matched bucket), so the fact
+    table shuffles once per probe and never nest-loops. Adaptation:
+    the fixture has no commit/receipt dates, so 'late' is proxied by
+    l_returnflag = 'R' (the only lateness-like signal present), and
+    no nation filter is applied (synthetic nations are uniform)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(f_orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .distinct()
+    )
+    blamed = l1.join(
+        l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q21_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+), l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM li JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' AND o_orderstatus = 'F'
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY 1, 2
+"""
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: hourly event counts per event type with
+    MISSING HOURS MATERIALIZED at zero — the densification every
+    monitoring/forecast pipeline needs before window math. The hour
+    spine is generated per type with ``sequence()`` over BIGINT epoch
+    hours (exact integers — no timestamp arithmetic to diverge between
+    engines) from that type's min to max hour, exploded, and LEFT
+    JOINed against the observed counts. Scale shape: the spine is
+    O(types x hours) — trivially small next to the event scan — and
+    the explode happens after the heavy aggregation, so the fact table
+    shuffles once into (type, hour) partials."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint").alias("hr"),
+    )
+    counts = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n_obs"))
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "event_type", F.explode(F.sequence("h0", "h1")).alias("hour_epoch")
+        )
+    )
+    return (
+        spine.join(
+            counts,
+            (spine.event_type == counts.event_type)
+            & (spine.hour_epoch == counts.hr),
+            "left",
+        )
+        .select(
+            spine.event_type,
+            "hour_epoch",
+            F.coalesce("n_obs", F.lit(0).cast("bigint")).alias("n"),
+        )
+    )
+
+
+_GAPFILL_SQL = """
+WITH counts AS (
+  -- floor(), not `// 3600` + CAST: DuckDB's // on DOUBLE is plain
+  -- division and the BIGINT cast ROUNDS, shifting boundary rows up an hour
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, COUNT(*) AS n_obs
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, unnest(range(MIN(hr), MAX(hr) + 1)) AS hour_epoch
+  FROM counts GROUP BY event_type
+)
+SELECT s.event_type, s.hour_epoch,
+       COALESCE(c.n_obs, 0) AS n
+FROM spine s LEFT JOIN counts c
+  ON s.event_type = c.event_type AND s.hour_epoch = c.hr
+"""
+
+
 _REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
@@ -1785,7 +1913,9 @@ _REGISTRY = {
     "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
     "q17_small_quantity": (q17_small_quantity, _Q17_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, _Q21_SQL),
     "q22_dormant_customers": (q22_dormant_customers, _Q22_SQL),
+    "q_events_gapfill": (q_events_gapfill, _GAPFILL_SQL),
     "q_user_state_scd2": (q_user_state_scd2, _USER_SCD2_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q_event_transitions": (q_event_transitions, _TRANSITIONS_SQL),
