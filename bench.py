@@ -143,6 +143,18 @@ BENCH_QUERIES = [
     "q_events_rolling_window",
     "hll_distinct_census",
     "q_events_variant",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q_events_gapfill",
+    "dedup_minhash_calibration",
+    "host_label_propagation",
 ]
 
 

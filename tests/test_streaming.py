@@ -665,3 +665,57 @@ def test_scd2_stream_equals_batch_twin(spark, tmp_path_factory):
     # genuinely multi-version: the fixtures recrawl ~5% of urls with
     # changed bytes, so closed intervals must exist
     assert any(t[5] is not None for t in got)
+
+
+def test_stream_score_windowed_micro_f1_equals_batch(spark, tmp_path_factory):
+    """Stream-static scoring contract: the streaming windowed micro
+    counters (extract stream -> broadcast static gold join -> score
+    kernel -> event-time window) equal the batch twin computed with
+    the SAME operators on the same finite input — exact-integer
+    counters, so equality is literal, not approximate."""
+    from text_extraction_evaluation_spark.operators.extract import extract_pages
+    from text_extraction_evaluation_spark.operators.score import score_extracted
+    from text_extraction_evaluation_spark.sources.readers import gold_df, pages_df
+    from text_extraction_evaluation_spark.streaming.stream import (
+        read_pages_stream,
+        windowed_micro_f1,
+    )
+
+    base = tmp_path_factory.mktemp("scorestream")
+    pages_dir = str(base / "pages")
+    pages = pages_df(spark, SF0001, n_partitions=6)
+    pages.write.parquet(pages_dir)
+    gold = gold_df(spark, SF0001)
+
+    agg = windowed_micro_f1(read_pages_stream(spark, pages_dir), gold)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_f1")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    key = lambda r: (r["window"]["start"], r["window"]["end"], r["extractor"], r["dataset"])  # noqa: E731
+    got = {
+        key(r): (r["micro_matched"], r["micro_retrieved"], r["micro_relevant"], r["n_docs"])
+        for r in spark.sql("SELECT * FROM win_f1").collect()
+    }
+    batch_scores = score_extracted(
+        extract_pages(spark.read.parquet(pages_dir)), gold, keep_cols=("warc_ts",)
+    )
+    want = {
+        key(r): (r["micro_matched"], r["micro_retrieved"], r["micro_relevant"], r["n_docs"])
+        for r in (
+            batch_scores.groupBy(F.window("warc_ts", "10 minutes"), "extractor", "dataset")
+            .agg(
+                F.sum("matched").alias("micro_matched"),
+                F.sum("retrieved").alias("micro_retrieved"),
+                F.sum("relevant").alias("micro_relevant"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+    assert sum(v[3] for v in got.values()) > 0

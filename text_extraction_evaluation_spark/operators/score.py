@@ -33,9 +33,19 @@ def score_extracted(
     extracted: DataFrame,
     gold: DataFrame,
     extractor: str = "justext_spark",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """scores(url, extractor, dataset, P/R/F1 x {lcs,bow}, counters, status)."""
-    joined = extracted.select("url", "text").join(
+    """scores(url, extractor, dataset, P/R/F1 x {lcs,bow}, counters, status).
+
+    ``keep_cols`` passes named columns of ``extracted`` through the
+    kernel untouched (typed from the input schema) — the streaming
+    scorer uses it to keep ``warc_ts`` alive for event-time windowed
+    micro aggregates, which the url-keyed score row otherwise drops."""
+    passthrough = [
+        f"{c} {extracted.schema[c].dataType.simpleString()}" for c in keep_cols
+    ]
+    schema = ", ".join([SCORES_SCHEMA, *passthrough])
+    joined = extracted.select("url", "text", *keep_cols).join(
         F.broadcast(gold.select("url", "gold_text", "dataset")), "url", "inner"
     )
 
@@ -53,7 +63,7 @@ def score_extracted(
                      s.matched, s.matched_bow, s.retrieved, s.relevant,
                      s.status)
                 )
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows,
                 columns=["url", "extractor", "dataset",
                          "precision", "recall", "f1",
@@ -61,5 +71,8 @@ def score_extracted(
                          "matched", "matched_bow", "retrieved", "relevant",
                          "status"],
             )
+            for c in keep_cols:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield out
 
-    return joined.mapInPandas(kernel, SCORES_SCHEMA)
+    return joined.mapInPandas(kernel, schema)

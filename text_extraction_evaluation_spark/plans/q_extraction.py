@@ -2496,8 +2496,78 @@ WITH e0 AS (
     )
 
 
+CRAWL_BUDGET = 100_000  # fetch slots to allocate across hosts per cycle
+
+
+def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier budget allocation: split CRAWL_BUDGET fetch slots
+    across hosts proportionally to their PageRank, using the
+    largest-remainder (Hamilton) method so the quotas are integers
+    that sum EXACTLY to the budget — the scheduler contract a frontier
+    needs (floats under- or over-commit fetchers). Composes the
+    iterative host_pagerank operator; every step is BIGINT arithmetic
+    (base = rank*B div R, remainder ranking for the leftover slots,
+    ties by host) so the unrolled oracle reproduces the exact quotas.
+
+    Scale shape: the allocation runs over the RANK table (one row per
+    host — orders of magnitude smaller than pages/edges). The
+    largest-remainder pick is a global top-k over hosts; at 1e8 hosts
+    that single-partition row_number sort becomes a rangepartitioned
+    TopK (WindowGroupLimit bounds it map-side the same way
+    host_domain_cap's census pins); quotas themselves broadcast back
+    to the fetch planner."""
+    ranks = host_pagerank(spark, sf_dir)
+    tot = ranks.agg(F.sum("rank_e12").alias("r_tot"))
+    a = ranks.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "rank_e12",
+        F.expr(f"rank_e12 * {CRAWL_BUDGET}L div r_tot").alias("base_quota"),
+        F.expr(f"(rank_e12 * {CRAWL_BUDGET}L) % r_tot").alias("rem"),
+    )
+    k_tbl = a.agg(
+        (F.lit(CRAWL_BUDGET).cast("bigint") - F.sum("base_quota")).alias("k")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    return (
+        a.crossJoin(F.broadcast(k_tbl))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "host",
+            "rank_e12",
+            "base_quota",
+            (F.col("base_quota") + (F.col("rn") <= F.col("k")).cast("bigint")).alias(
+                "quota"
+            ),
+        )
+    )
+
+
+def _crawl_budget_sql() -> str:
+    b = CRAWL_BUDGET
+    return f"""
+WITH pr AS ({_pagerank_sql()}),
+tot AS (
+  -- CAST: DuckDB SUM(BIGINT) is HUGEINT; keep the div/mod in BIGINT
+  SELECT CAST(SUM(rank_e12) AS BIGINT) AS r_tot FROM pr
+), a AS (
+  SELECT host, rank_e12,
+         CAST(rank_e12 * {b} // r_tot AS BIGINT) AS base_quota,
+         CAST((rank_e12 * {b}) % r_tot AS BIGINT) AS rem
+  FROM pr CROSS JOIN tot
+), k AS (
+  SELECT CAST({b} - SUM(base_quota) AS BIGINT) AS k FROM a
+), r AS (
+  SELECT a.*, row_number() OVER (ORDER BY rem DESC, host) AS rn FROM a
+)
+SELECT host, rank_e12, base_quota,
+       CAST(base_quota + CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r CROSS JOIN k
+"""
+
+
 _REGISTRY = {
     "host_label_propagation": (host_label_propagation, _label_prop_sql()),
+    "crawl_budget_allocation": (crawl_budget_allocation, _crawl_budget_sql()),
     "extract_text_fingerprint": (extract_text_fingerprint, _TEXT_FP_SQL),
     "extract_spans_fingerprint": (extract_spans_fingerprint, _SPANS_FP_SQL),
     "doc_scores_fingerprint": (doc_scores_fingerprint, _SCORES_FP_SQL),

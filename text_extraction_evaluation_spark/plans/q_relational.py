@@ -1776,6 +1776,48 @@ GROUP BY band
 """
 
 
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers can provide each (brand, type, size) combination,
+    excluding a filtered brand and excluding 'complaint' suppliers.
+    Adaptations: the fixture has no partsupp, so the part–supplier
+    relation is observed from lineitem (distinct partkey x suppkey —
+    aggregated BEFORE the dim joins, collapsing the fact table first);
+    no s_comment, so the excluded-supplier set is suppliers with
+    negative account balance (an anti-joined exclusion list, same
+    shape as the reference's NOT IN subquery)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#9")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting): for 'F'
     orders, blame the supplier who is the ONLY one with returned
@@ -1849,6 +1891,205 @@ GROUP BY 1, 2
 """
 
 
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill + LINEAR INTERPOLATION (the TimescaleDB
+    locf/interpolate surface): per event type, the hourly mean value
+    on a dense hour spine, with missing hours linearly interpolated
+    between their observed neighbors and edge gaps carried from the
+    single available side. Everything is exact integer micro-units:
+    hourly means are sum(value micro-units) div n, and the
+    interpolation is (v0*(t1-h) + v1*(h-t0)) div (t1-t0) — all terms
+    positive BIGINTs, so Spark's truncating div and DuckDB's floor //
+    agree. Scale shape: one (type, hour) aggregate over the fact scan,
+    then windows over the tiny spine (types x hours), never over raw
+    events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint").alias("hr"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        (F.sum("v") * F.lit(1_000_000)).cast("bigint").alias("sum_q6"),
+        F.count(F.lit(1)).alias("n_obs"),
+    ).select(
+        "event_type", "hr", "n_obs", F.expr("sum_q6 div n_obs").alias("avg_q6")
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("hour_epoch"))
+    )
+    g = spine.join(
+        hourly,
+        (spine.event_type == hourly.event_type) & (spine.hour_epoch == hourly.hr),
+        "left",
+    ).select(spine.event_type, "hour_epoch", "avg_q6")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("avg_q6").isNotNull(), F.col("hour_epoch"))
+    g = (
+        g.withColumn("pv", F.last("avg_q6", ignorenulls=True).over(w_prev))
+        .withColumn("pt", F.last(obs_hr, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("avg_q6", ignorenulls=True).over(w_next))
+        .withColumn("nt", F.first(obs_hr, ignorenulls=True).over(w_next))
+    )
+    filled = (
+        F.when(F.col("avg_q6").isNotNull(), F.col("avg_q6"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.expr(
+                "(pv * (nt - hour_epoch) + nv * (hour_epoch - pt)) div (nt - pt)"
+            )
+        )
+    )
+    src = (
+        F.when(F.col("avg_q6").isNotNull(), F.lit("obs"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit("edge"))
+        .otherwise(F.lit("interp"))
+    )
+    return g.select(
+        "event_type",
+        "hour_epoch",
+        filled.alias("value_q6"),
+        src.alias("src"),
+    )
+
+
+_INTERPOLATE_SQL = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+           // COUNT(*) AS avg_q6
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, unnest(range(MIN(hr), MAX(hr) + 1)) AS hour_epoch
+  FROM hourly GROUP BY event_type
+), g AS (
+  SELECT s.event_type, s.hour_epoch, h.avg_q6
+  FROM spine s LEFT JOIN hourly h
+    ON s.event_type = h.event_type AND s.hour_epoch = h.hr
+), w AS (
+  SELECT *,
+    last_value(avg_q6 IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour_epoch
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN avg_q6 IS NOT NULL THEN hour_epoch END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour_epoch
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(avg_q6 IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour_epoch
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN avg_q6 IS NOT NULL THEN hour_epoch END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour_epoch
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM g
+)
+SELECT event_type, hour_epoch,
+       CAST(CASE
+         WHEN avg_q6 IS NOT NULL THEN avg_q6
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE (pv * (nt - hour_epoch) + nv * (hour_epoch - pt)) // (nt - pt)
+       END AS BIGINT) AS value_q6,
+       CASE
+         WHEN avg_q6 IS NOT NULL THEN 'obs'
+         WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+         ELSE 'interp'
+       END AS src
+FROM w
+"""
+
+
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity census — the ingestion audit a warehouse
+    runs after every load: orphan lineitems (fact rows whose orderkey
+    has no orders row), childless orders, customers referenced by
+    orders but missing from the dim, and row totals. Each probe is a
+    LEFT ANTI join aggregated to one BIGINT — the audit never
+    materializes the violating rows (at 100 TB the count is the
+    alert; the rows are a follow-up query). One union of four tiny
+    aggregates."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"), F.count(F.lit(1)).alias("n_violations")
+        )
+
+    orphan_li = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    )
+    childless_o = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    )
+    ghost_cust = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+    )
+    return (
+        one("lineitem_orphans", orphan_li)
+        .union(one("orders_childless", childless_o))
+        .union(one("orders_ghost_customer", ghost_cust))
+    )
+
+
+_INTEGRITY_SQL = """
+SELECT 'lineitem_orphans' AS check_name, COUNT(*) AS n_violations
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders_childless', COUNT(*)
+FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+UNION ALL
+SELECT 'orders_ghost_customer', COUNT(*)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def q_price_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile banding over part prices — the window-function
+    surface (§2 W1 family) not covered by rank/row_number elsewhere.
+    The order key is (price, partkey) so the tiling is a TOTAL order
+    and both engines assign identical bands (bare price would leave
+    ties engine-ordered). Single window over the part dim, then a
+    tiny per-band aggregate; prices compare as exact cents."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", (_dec("p_retailprice") * 100).cast("bigint").alias("cents")
+    )
+    w = Window.orderBy(F.asc("cents"), F.asc("p_partkey"))
+    banded = part.withColumn("decile", F.ntile(10).over(w))
+    return banded.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+_PRICE_NTILE_SQL = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM part
+), b AS (
+  SELECT cents, ntile(10) OVER (ORDER BY cents, p_partkey) AS decile FROM p
+)
+SELECT decile, COUNT(*) AS n_parts,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY decile
+"""
+
+
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill: hourly event counts per event type with
     MISSING HOURS MATERIALIZED at zero — the densification every
@@ -1912,10 +2153,14 @@ _REGISTRY = {
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
     "q17_small_quantity": (q17_small_quantity, _Q17_SQL),
+    "q16_parts_supplier": (q16_parts_supplier, _Q16_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, _Q21_SQL),
     "q22_dormant_customers": (q22_dormant_customers, _Q22_SQL),
     "q_events_gapfill": (q_events_gapfill, _GAPFILL_SQL),
+    "q_integrity_audit": (q_integrity_audit, _INTEGRITY_SQL),
+    "q_price_ntile": (q_price_ntile, _PRICE_NTILE_SQL),
+    "q_events_interpolate": (q_events_interpolate, _INTERPOLATE_SQL),
     "q_user_state_scd2": (q_user_state_scd2, _USER_SCD2_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q_event_transitions": (q_event_transitions, _TRANSITIONS_SQL),

@@ -67,6 +67,42 @@ def dedup_pages_stream(
     )
 
 
+def score_stream(
+    pages_stream: DataFrame, gold: DataFrame, extractor: str = "justext_spark"
+) -> DataFrame:
+    """Stream-static scoring: the extraction kernel over the page
+    stream, joined to the STATIC gold table (broadcast — a stream-
+    static inner join is stateless in Structured Streaming, no
+    watermark needed on the static side), through the same Arrow score
+    kernel as the batch path. Emits the per-document score rows as an
+    append stream with ``warc_ts`` kept for event-time windowing."""
+    from ..operators.score import score_extracted
+
+    extracted = extract_stream(pages_stream)
+    return score_extracted(extracted, gold, extractor, keep_cols=("warc_ts",))
+
+
+def windowed_micro_f1(
+    pages_stream: DataFrame, gold: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming evaluation dashboard aggregate: per 10-minute crawl
+    window and dataset, the MICRO token counters (sum of matched /
+    retrieved / relevant) from which precision/recall/F1 derive —
+    counters, not averaged floats, so the batch twin comparison is
+    exact-integer and late data folds in associatively."""
+    scores = score_stream(pages_stream, gold)
+    return (
+        scores.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "10 minutes"), "extractor", "dataset")
+        .agg(
+            F.sum("matched").alias("micro_matched"),
+            F.sum("retrieved").alias("micro_retrieved"),
+            F.sum("relevant").alias("micro_relevant"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
 def windowed_status_counts(pages_stream: DataFrame, watermark: str = "1 hour"):
     """Stateful streaming aggregate: per 10-minute crawl-time window,
     extraction status counts with late-data watermarking."""
