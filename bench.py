@@ -155,6 +155,13 @@ BENCH_QUERIES = [
     "q_events_gapfill",
     "dedup_minhash_calibration",
     "host_label_propagation",
+    "q16_parts_supplier",
+    "q_integrity_audit",
+    "q_price_ntile",
+    "q_events_interpolate",
+    "trigram_index_search",
+    "crawl_budget_allocation",
+    "langid_confusion",
 ]
 
 

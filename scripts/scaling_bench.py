@@ -26,7 +26,12 @@ import subprocess
 import sys
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
-SHM = "/dev/shm/spark-local"
+# Bench-private shuffle dir: the per-run wipe below must never touch
+# /dev/shm/spark-local, which interactive sessions (readers.get_spark)
+# use — an rm -rf there mid-run kills THEIR in-flight shuffles with
+# FileNotFoundException (observed: a concurrent pytest lost
+# temp_shuffle files when a bench launched).
+SHM = "/dev/shm/spark-local-bench"
 
 
 def run_extract(cores: int, replicate: int, sf_dir: str) -> dict:

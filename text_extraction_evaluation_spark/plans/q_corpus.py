@@ -3538,7 +3538,141 @@ WHERE contains(text, '{q}')
 """
 
 
+def source_length_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form OLS — per source, the least-squares slope
+    and intercept of n_chars on token count, the shape of every
+    per-segment trend fit in an analytics engine. The normal equations
+    run on EXACT integer sums (x and y are integers, so Σx, Σy, Σxy,
+    Σx² are BIGINTs accumulated associatively — one map-side-combining
+    aggregate, no float summation-order drift); the final slope =
+    (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is emitted as numerator/denominator
+    plus a q6 integer quotient, so both engines agree bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text", "n_chars")
+    x = F.size(tokens_col("text")).cast("bigint")
+    y = F.col("n_chars").cast("bigint")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        F.expr("n * sxy - sx * sy").alias("slope_num"),
+        F.expr("n * sxx - sx * sx").alias("slope_den"),
+        F.expr("(n * sxy - sx * sy) * 1000000L div (n * sxx - sx * sx)").alias(
+            "slope_q6"
+        ),
+        # intercept = (sy - slope*sx)/n, in the same q6 fixed point
+        F.expr(
+            "(sy * 1000000L - ((n * sxy - sx * sy) * 1000000L"
+            " div (n * sxx - sx * sx)) * sx) div n"
+        ).alias("intercept_q6"),
+    )
+
+
+_LENGTH_TREND_SQL = """
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS x,
+         CAST(n_chars AS BIGINT) AS y
+  FROM documents
+), a AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM t GROUP BY source
+)
+SELECT source, n,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS slope_q6,
+       (sy * 1000000 - ((n * sxy - sx * sy) * 1000000
+          // (n * sxx - sx * sx)) * sx) // n AS intercept_q6
+FROM a
+"""
+
+
+def source_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (lower median on even counts — a fixed,
+    engine-independent tie rule) of document length per source, via
+    one ranking window over (n_chars, doc_id) and the row at
+    position ceil(n/2). The global exact-percentile query covers the
+    corpus; this is the grouped variant every mixture report needs.
+    At scale the window partitions by source — bounded by the largest
+    source, not the corpus."""
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    return (
+        ranked.filter(F.expr("rn = (n + 1) div 2"))
+        .select(
+            "source",
+            F.col("n_chars").alias("median_chars"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+
+
+_MEDIAN_CHARS_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, n_chars AS median_chars, CAST(n AS BIGINT) AS n_docs
+FROM r WHERE rn = (n + 1) // 2
+"""
+
+
+def source_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: the 5%-trimmed mean of document
+    length per source — drop the ⌊n/20⌋ shortest and longest docs (by
+    the (n_chars, doc_id) total order, so the trim set is exact and
+    engine-independent) and integer-average the rest. The outlier-
+    resistant summary a corpus mix report quotes next to the plain
+    mean; emitted as exact BIGINTs (sum div count)."""
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    kept = ranked.filter(
+        F.expr("rn > n div 20 AND rn <= n - (n div 20)")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        F.expr("sum(cast(n_chars as bigint)) div count(1)").alias(
+            "trimmed_mean_chars"
+        ),
+    )
+
+
+_TRIMMED_MEAN_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS trimmed_mean_chars
+FROM r WHERE rn > n // 20 AND rn <= n - (n // 20)
+GROUP BY source
+"""
+
+
 _REGISTRY = {
+    "source_trimmed_mean": (source_trimmed_mean, _TRIMMED_MEAN_SQL),
+    "source_length_trend": (source_length_trend, _LENGTH_TREND_SQL),
+    "source_median_chars": (source_median_chars, _MEDIAN_CHARS_SQL),
     "trigram_index_search": (trigram_index_search, _trigram_search_sql()),
     "dedup_minhash_calibration": (
         dedup_minhash_calibration,

@@ -2009,6 +2009,69 @@ FROM w
 """
 
 
+def q_events_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late/out-of-order arrival census — the measurement that sizes a
+    streaming watermark: per event type, how many events arrive with a
+    timestamp EARLIER than the latest timestamp already seen for that
+    user, and the worst backward skew in seconds. Arrival order is a
+    deterministic md5 permutation of event_id: the fixture generator
+    emits events already ts-sorted, so the hash permutation stands in
+    for network-shuffled ingestion (with real logs the ingestion
+    sequence column replaces it). One user_id window over the fact
+    scan (running MAX of floored epoch seconds by arrival order), then
+    a tiny per-type aggregate. Integer seconds throughout."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.md5(F.col("event_id").cast("string")).alias("arrival"),
+        F.expr("cast(floor(unix_timestamp(ts)) as bigint)").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lagged = ev.withColumn("max_seen", F.max("sec").over(w))
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("max_seen").isNotNull() & (F.col("sec") < F.col("max_seen")))
+                .cast("bigint")
+            ).alias("n_out_of_order"),
+            F.max(
+                F.when(
+                    F.col("sec") < F.col("max_seen"), F.col("max_seen") - F.col("sec")
+                )
+            ).alias("max_backward_sec"),
+        )
+    )
+
+
+_OUT_OF_ORDER_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         md5(CAST(event_id AS VARCHAR)) AS arrival,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), l AS (
+  SELECT *,
+         MAX(sec) OVER (PARTITION BY user_id ORDER BY arrival
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_seen
+  FROM e
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN max_seen IS NOT NULL AND sec < max_seen
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+       MAX(CASE WHEN sec < max_seen THEN max_seen - sec END)
+         AS max_backward_sec
+FROM l GROUP BY event_type
+"""
+
+
 def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity census — the ingestion audit a warehouse
     runs after every load: orphan lineitems (fact rows whose orderkey
@@ -2161,6 +2224,7 @@ _REGISTRY = {
     "q_integrity_audit": (q_integrity_audit, _INTEGRITY_SQL),
     "q_price_ntile": (q_price_ntile, _PRICE_NTILE_SQL),
     "q_events_interpolate": (q_events_interpolate, _INTERPOLATE_SQL),
+    "q_events_out_of_order": (q_events_out_of_order, _OUT_OF_ORDER_SQL),
     "q_user_state_scd2": (q_user_state_scd2, _USER_SCD2_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q_event_transitions": (q_event_transitions, _TRANSITIONS_SQL),
