@@ -162,6 +162,29 @@ def main() -> None:
          "(doc_id, term) aggregate, the query-term table rides a "
          "BroadcastHashJoin, corpus stats a one-row broadcast — "
          "scoring touches candidates only"),
+        ("q7_volume_shipping", "TPC-H Q7: the two-year shipdate filter "
+         "reaches the parquet scan; supplier/customer/nation all "
+         "broadcast — lineitem-orders is the single wide join"),
+        ("host_label_propagation", "label propagation: per round one "
+         "neighbor equi-join + one (host, label) hash aggregate + a "
+         "rank-limited argmax window over the label table — edges "
+         "never re-shuffle, no driver actions"),
+        ("crawl_budget_allocation", "largest-remainder quota split on "
+         "the rank table: one-row broadcast totals, global remainder "
+         "ranking over #hosts rows (WindowGroupLimit-bounded), never "
+         "the page corpus"),
+        ("trigram_index_search", "posting-list LIKE acceleration: the "
+         "probe-filtered explode bounds the shuffle at query-gram "
+         "postings; candidates broadcast back for the contains() "
+         "verify — the full-scan LIKE exists only as the oracle"),
+        ("q_events_interpolate", "gap fill + interpolate: the fact "
+         "scan collapses to (type, hour) partials before the spine "
+         "explode; IGNORE-NULLS neighbor windows run over the tiny "
+         "spine, not raw events"),
+        ("dedup_minhash_calibration", "sketch calibration: signatures "
+         "computed once per doc, candidates from the banded equi-join, "
+         "and both signature and shingle tables join back by doc id — "
+         "candidate-bounded verification work"),
         ("bpe_train_merges", "full BPE training loop: one corpus-sized "
          "word aggregate, then K vocabulary-sized iterations — pair "
          "aggregate, bounded top-1 (TakeOrderedAndProject), ONE-ROW "

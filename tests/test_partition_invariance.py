@@ -27,6 +27,10 @@ INVARIANCE_QUERIES = [
     "q1_pricing_summary",        # DECIMAL money aggregates
     "tfidf_top_terms",           # integer-quantized idf ranking
     "line_dedup_clean",          # fingerprint sum over a broadcast anti-flag
+    "host_label_propagation",    # iterative argmax with explicit tie-break
+    "crawl_budget_allocation",   # largest-remainder global ranking
+    "q_events_interpolate",      # IGNORE-NULLS window neighbors on a spine
+    "source_length_trend",       # integer normal-equation sums
 ]
 
 
