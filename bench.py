@@ -162,6 +162,12 @@ BENCH_QUERIES = [
     "trigram_index_search",
     "crawl_budget_allocation",
     "langid_confusion",
+    "q_events_out_of_order",
+    "q_events_percent_rank",
+    "source_length_trend",
+    "source_median_chars",
+    "source_trimmed_mean",
+    "host_bfs_depth",
 ]
 
 

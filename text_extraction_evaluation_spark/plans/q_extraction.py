@@ -2496,6 +2496,106 @@ WITH e0 AS (
     )
 
 
+BFS_ROUNDS = 4
+
+
+def host_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability: BFS hop distance from the planted hot
+    host ('skew.example') over the undirected host graph, BFS_ROUNDS
+    synchronous frontier expansions — the neighborhood/radius probe a
+    crawl planner runs around a seed set. Per round: one equi-join of
+    the edge list with the current distance table on the neighbor key
+    and one MIN hash aggregate — identical shuffle discipline to
+    host_pagerank/label propagation (edges never re-shuffle, distances
+    are one row per host, zero driver actions). Hosts not reached
+    within BFS_ROUNDS report depth -1 (the unrolled oracle applies the
+    same cutoff, so the twin is exact without a fixpoint)."""
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    src = F.when(
+        F.col("source") == HOT_HOST_SOURCE, F.lit("skew.example")
+    ).otherwise(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % N_HOSTS).cast("string"),
+            F.lit(".example"),
+        )
+    )
+    dst = F.concat(
+        F.lit("host"),
+        ((F.col("doc_id") * PR_EDGE_MULT + PR_EDGE_ADD) % N_HOSTS).cast("string"),
+        F.lit(".example"),
+    )
+    directed = docs.select(src.alias("src"), dst.alias("dst"))
+    und = (
+        directed.union(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = und.select(F.col("src").alias("host")).distinct()
+    dist = nodes.select(
+        "host",
+        F.when(F.col("host") == "skew.example", F.lit(0).cast("bigint")).alias("d"),
+    )
+    for _ in range(BFS_ROUNDS):
+        reach = (
+            und.join(dist, und.dst == dist.host)
+            .filter(F.col("d").isNotNull())
+            .groupBy(F.col("src").alias("n_host"))
+            .agg((F.min("d") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(reach, dist.host == reach.n_host, "left")
+            .select("host", F.least("d", "nd").alias("d"))
+        )
+    return dist.select(
+        "host", F.coalesce("d", F.lit(-1).cast("bigint")).alias("depth")
+    )
+
+
+def _bfs_depth_sql() -> str:
+    from ..sources.synth import HOT_HOST_SOURCE, N_HOSTS
+
+    pre = f"""
+WITH e0 AS (
+  SELECT CASE WHEN source = '{HOT_HOST_SOURCE}' THEN 'skew.example'
+              ELSE 'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'
+         END AS src,
+         'host' || CAST((doc_id * {PR_EDGE_MULT} + {PR_EDGE_ADD}) % {N_HOSTS} AS VARCHAR)
+           || '.example' AS dst
+  FROM documents
+), und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e0
+  ) WHERE src <> dst
+), nodes AS (
+  SELECT DISTINCT src AS host FROM und
+), d0 AS (
+  SELECT host,
+         CASE WHEN host = 'skew.example' THEN CAST(0 AS BIGINT) END AS d
+  FROM nodes
+)"""
+    its = []
+    for i in range(BFS_ROUNDS):
+        its.append(f""", r{i} AS (
+  SELECT und.src AS n_host, MIN(d) + 1 AS nd
+  FROM und JOIN d{i} ON und.dst = d{i}.host
+  WHERE d IS NOT NULL GROUP BY und.src
+), d{i + 1} AS (
+  SELECT d{i}.host, least(d, nd) AS d
+  FROM d{i} LEFT JOIN r{i} ON r{i}.n_host = d{i}.host
+)""")
+    return (
+        pre
+        + "".join(its)
+        + f"\nSELECT host, COALESCE(d, -1) AS depth FROM d{BFS_ROUNDS}\n"
+    )
+
+
 CRAWL_BUDGET = 100_000  # fetch slots to allocate across hosts per cycle
 
 
@@ -2568,6 +2668,7 @@ FROM r CROSS JOIN k
 _REGISTRY = {
     "host_label_propagation": (host_label_propagation, _label_prop_sql()),
     "crawl_budget_allocation": (crawl_budget_allocation, _crawl_budget_sql()),
+    "host_bfs_depth": (host_bfs_depth, _bfs_depth_sql()),
     "extract_text_fingerprint": (extract_text_fingerprint, _TEXT_FP_SQL),
     "extract_spans_fingerprint": (extract_spans_fingerprint, _SPANS_FP_SQL),
     "doc_scores_fingerprint": (doc_scores_fingerprint, _SCORES_FP_SQL),

@@ -2072,6 +2072,48 @@ FROM l GROUP BY event_type
 """
 
 
+def q_events_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percent_rank census: per event type, the ppm percentile
+    position of each distinct value-cent level — computed from integer
+    rank arithmetic ((rank-1) * 1e6 div (n-1)), NOT the built-in
+    double percent_rank, so the twin compares exact integers. The
+    distinct-level aggregate keeps the output at (type x levels) rows;
+    the ranking window runs per type after one value aggregate."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (_dec("value") * 100).cast("bigint").alias("cents")
+    )
+    levels = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return levels.select(
+        "event_type",
+        "cents",
+        "n_events",
+        # single-level groups define pr = 0 (the n-1 denominator is 0)
+        F.expr(
+            "if(count(1) over (partition by event_type) = 1, 0L,"
+            " (rank() over (partition by event_type order by cents) - 1)"
+            " * 1000000L div (count(1) over (partition by event_type) - 1))"
+        ).alias("pr_ppm"),
+    )
+
+
+_PERCENT_RANK_SQL = """
+WITH levels AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, cents, n_events,
+       CASE WHEN COUNT(*) OVER (PARTITION BY event_type) = 1 THEN 0
+            ELSE (rank() OVER (PARTITION BY event_type ORDER BY cents) - 1)
+                 * 1000000 // (COUNT(*) OVER (PARTITION BY event_type) - 1)
+       END AS pr_ppm
+FROM levels
+"""
+
+
 def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity census — the ingestion audit a warehouse
     runs after every load: orphan lineitems (fact rows whose orderkey
@@ -2225,6 +2267,7 @@ _REGISTRY = {
     "q_price_ntile": (q_price_ntile, _PRICE_NTILE_SQL),
     "q_events_interpolate": (q_events_interpolate, _INTERPOLATE_SQL),
     "q_events_out_of_order": (q_events_out_of_order, _OUT_OF_ORDER_SQL),
+    "q_events_percent_rank": (q_events_percent_rank, _PERCENT_RANK_SQL),
     "q_user_state_scd2": (q_user_state_scd2, _USER_SCD2_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q_event_transitions": (q_event_transitions, _TRANSITIONS_SQL),
