@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "source_median_chars",
     "source_trimmed_mean",
     "host_bfs_depth",
+    "q_grouping_sets",
+    "q_lineitem_unpivot",
 ]
 
 

@@ -2114,6 +2114,87 @@ FROM levels
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id — the third member of the
+    multi-granularity family next to q_rollup_order_counts and
+    q_cube_order_stats: exactly three chosen granularities ((status),
+    (priority), ()) out of the 2^2 cube, which neither ROLLUP nor CUBE
+    expresses without waste. Spark plans this as ONE scan + Expand
+    (3 rows per input into the hash aggregate), not three passes.
+    Uses the Spark SQL surface (the DataFrame API has rollup/cube but
+    not arbitrary grouping sets); the temp view is derived, not a
+    global fixture dependency."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS total_cents
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(CASE WHEN o_orderstatus IS NOT NULL THEN 1
+                 WHEN o_orderpriority IS NOT NULL THEN 2
+                 ELSE 3 END AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt): the three lineitem money/measure
+    columns as (orderkey-level) long rows — the schema-normalization
+    shape feeding generic per-measure aggregates. Spark's native
+    unpivot (melt) keeps it one scan+generate, no union of three
+    scans; measures are quantized to exact cents, aggregated per
+    measure name."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (_dec("l_quantity") * 100).cast("bigint").alias("quantity"),
+        (_dec("l_extendedprice") * 100).cast("bigint").alias("extendedprice"),
+        (_dec("l_discount", "decimal(5,2)") * 100).cast("bigint").alias("discount"),
+    )
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["quantity", "extendedprice", "discount"],
+        variableColumnName="measure",
+        valueColumnName="v_cents",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_cents").alias("sum_cents"),
+        F.min("v_cents").alias("min_cents"),
+        F.max("v_cents").alias("max_cents"),
+    )
+
+
+_UNPIVOT_SQL = """
+WITH w AS (
+  SELECT l_orderkey,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS quantity,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS extendedprice,
+         CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT) AS discount
+  FROM lineitem
+), long AS (
+  UNPIVOT w ON quantity, extendedprice, discount
+  INTO NAME measure VALUE v_cents
+)
+SELECT measure, COUNT(*) AS n,
+       CAST(SUM(v_cents) AS BIGINT) AS sum_cents,
+       MIN(v_cents) AS min_cents, MAX(v_cents) AS max_cents
+FROM long GROUP BY measure
+"""
+
+
 def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity census — the ingestion audit a warehouse
     runs after every load: orphan lineitems (fact rows whose orderkey
@@ -2268,6 +2349,8 @@ _REGISTRY = {
     "q_events_interpolate": (q_events_interpolate, _INTERPOLATE_SQL),
     "q_events_out_of_order": (q_events_out_of_order, _OUT_OF_ORDER_SQL),
     "q_events_percent_rank": (q_events_percent_rank, _PERCENT_RANK_SQL),
+    "q_grouping_sets": (q_grouping_sets, _GROUPING_SETS_SQL),
+    "q_lineitem_unpivot": (q_lineitem_unpivot, _UNPIVOT_SQL),
     "q_user_state_scd2": (q_user_state_scd2, _USER_SCD2_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q_event_transitions": (q_event_transitions, _TRANSITIONS_SQL),
