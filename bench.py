@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "source_median_chars",
     "source_trimmed_mean",
     "host_bfs_depth",
+    "q_events_pit_state",
     "q_grouping_sets",
     "q_lineitem_unpivot",
 ]

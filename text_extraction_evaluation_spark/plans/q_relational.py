@@ -2114,6 +2114,74 @@ FROM levels
 """
 
 
+def q_events_pit_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the feature-store correctness
+    primitive: each event joined to the SCD-2 state interval that was
+    valid AT THE EVENT'S TIME ([valid_from, valid_to) on floored epoch
+    seconds, open intervals unbounded), censused as the (event type,
+    concurrent state) matrix. The interval side is the same run-length
+    construction as q_user_state_scd2, so the join is events ⋈ a table
+    orders of magnitude smaller, equi-keyed on user_id with the
+    interval containment as a residual filter inside the matched
+    bucket — no range-join nested loop. Same-second state flips assign
+    the event to the newest interval of that second (the [from, to)
+    rule) identically on both engines."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("prev_state", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("event_type"))
+        )
+        .withColumn("ep_from", ep)
+        .withColumn("ep_to", F.lead("ep_from").over(w))
+        .select(
+            F.col("user_id").alias("i_user"),
+            F.col("event_type").alias("state"),
+            "ep_from",
+            "ep_to",
+        )
+    )
+    probes = ev.select("user_id", "event_type", ep.alias("sec"))
+    joined = probes.join(
+        runs,
+        (probes.user_id == runs.i_user)
+        & (runs.ep_from <= probes.sec)
+        & (runs.ep_to.isNull() | (probes.sec < runs.ep_to)),
+    )
+    return joined.groupBy("event_type", "state").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_PIT_STATE_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         ts
+  FROM events
+), runs AS (
+  SELECT user_id AS i_user, event_type AS state, sec AS ep_from,
+         lead(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ep_to
+  FROM (
+    SELECT *,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_state
+    FROM ev
+  )
+  WHERE prev_state IS NULL OR prev_state <> event_type
+)
+SELECT e.event_type, r.state, COUNT(*) AS n_events
+FROM ev e JOIN runs r
+  ON e.user_id = r.i_user
+ AND r.ep_from <= e.sec
+ AND (r.ep_to IS NULL OR e.sec < r.ep_to)
+GROUP BY 1, 2
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with grouping_id — the third member of the
     multi-granularity family next to q_rollup_order_counts and
@@ -2349,6 +2417,7 @@ _REGISTRY = {
     "q_events_interpolate": (q_events_interpolate, _INTERPOLATE_SQL),
     "q_events_out_of_order": (q_events_out_of_order, _OUT_OF_ORDER_SQL),
     "q_events_percent_rank": (q_events_percent_rank, _PERCENT_RANK_SQL),
+    "q_events_pit_state": (q_events_pit_state, _PIT_STATE_SQL),
     "q_grouping_sets": (q_grouping_sets, _GROUPING_SETS_SQL),
     "q_lineitem_unpivot": (q_lineitem_unpivot, _UNPIVOT_SQL),
     "q_user_state_scd2": (q_user_state_scd2, _USER_SCD2_SQL),
