@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "source_trimmed_mean",
     "host_bfs_depth",
     "q_events_pit_state",
+    "dedup_edit_distance",
+    "token_source_bitmap",
     "q_grouping_sets",
     "q_lineitem_unpivot",
 ]

@@ -3669,7 +3669,100 @@ GROUP BY source
 """
 
 
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-bounded fuzzy matching: Levenshtein distance over the
+    first 64 characters for every MinHash-LSH candidate pair — the
+    character-level second opinion next to the token-level Jaccard
+    verify (catches small in-word edits Jaccard's word shingles
+    miss). Spark's levenshtein() and DuckDB's levenshtein() are the
+    same classic integer DP, so the twin is exact. The O(64^2) DP runs
+    ONLY on LSH candidates — never all pairs — the same discipline as
+    every verification join here."""
+    from ..operators.dedup import candidate_pairs, minhash_band_rows
+
+    docs = _docs_par(spark, sf_dir)
+    cand = candidate_pairs(minhash_band_rows(docs))
+    pfx = docs.select(
+        "doc_id", F.substring("text", 1, 64).alias("p")
+    )
+    a = pfx.select(F.col("doc_id").alias("doc_id_a"), F.col("p").alias("p_a"))
+    b = pfx.select(F.col("doc_id").alias("doc_id_b"), F.col("p").alias("p_b"))
+    return (
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.levenshtein("p_a", "p_b").cast("bigint").alias("prefix_edit_dist"),
+            (F.levenshtein("p_a", "p_b") <= 8).alias("near_identical_prefix"),
+        )
+    )
+
+
+def _edit_distance_sql() -> str:
+    return f"""
+WITH cand AS ({_minhash_sql()}),
+pfx AS (
+  SELECT doc_id, substr(text, 1, 64) AS p FROM documents
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS prefix_edit_dist,
+       levenshtein(a.p, b.p) <= 8 AS near_identical_prefix
+FROM cand c
+JOIN pfx a ON a.doc_id = c.doc_id_a
+JOIN pfx b ON b.doc_id = c.doc_id_b
+"""
+
+
+def token_source_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index aggregation: for each sufficiently frequent token,
+    a 20-bit presence bitmap over the src0..src19 sources built with
+    bit_or(1 << src_id) — the roaring-bitmap-style set representation
+    that makes cross-segment membership tests one integer AND at query
+    time. array_distinct before the explode bounds the shuffle at
+    distinct (token, source) pairs; the bitmap aggregate is map-side
+    combining (bit_or is associative)."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        F.explode(F.array_distinct(tokens_col("text"))).alias("token"),
+        F.substring("source", 4, 2).cast("int").alias("src_id"),
+    ).distinct()
+    bm = toks.groupBy("token").agg(
+        F.expr("bit_or(cast(pow(2, src_id) as bigint))").alias("source_bitmap"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return bm.filter(F.col("n_sources") >= 10).select(
+        "token",
+        "source_bitmap",
+        "n_sources",
+        F.expr("bit_count(source_bitmap)").cast("bigint").alias("popcount"),
+    )
+
+
+_TOKEN_BITMAP_SQL = """
+WITH t AS (
+  SELECT DISTINCT token,
+         CAST(substr(source, 4, 2) AS INTEGER) AS src_id
+  FROM (
+    SELECT source, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+             AS token
+    FROM documents
+  )
+), bm AS (
+  SELECT token,
+         CAST(bit_or(CAST(pow(2, src_id) AS BIGINT)) AS BIGINT) AS source_bitmap,
+         COUNT(*) AS n_sources
+  FROM t GROUP BY token
+)
+SELECT token, source_bitmap, n_sources,
+       CAST(bit_count(source_bitmap) AS BIGINT) AS popcount
+FROM bm WHERE n_sources >= 10
+"""
+
+
 _REGISTRY = {
+    "dedup_edit_distance": (dedup_edit_distance, _edit_distance_sql()),
+    "token_source_bitmap": (token_source_bitmap, _TOKEN_BITMAP_SQL),
     "source_trimmed_mean": (source_trimmed_mean, _TRIMMED_MEAN_SQL),
     "source_length_trend": (source_length_trend, _LENGTH_TREND_SQL),
     "source_median_chars": (source_median_chars, _MEDIAN_CHARS_SQL),
