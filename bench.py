@@ -326,20 +326,60 @@ def main() -> None:
     extras["host_ops_after"] = _host_capacity()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "replicate_flagship": replicate_flagship,
-                **extras,
-            }
+    full = {
+        "metric": "headline_queries_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "replicate_flagship": replicate_flagship,
+        **extras,
+    }
+    # Full per-query payload goes to a file; the driver's stdout capture
+    # keeps only the LAST 2000 characters, so the final printed line must
+    # be compact (round 3's official BENCH record lost its headline to a
+    # tail-truncated JSON line). Print the full dict first (humans /
+    # local logs), then the compact driver line LAST.
+    out_dir = pathlib.Path(__file__).resolve().parent / "BENCH"
+    out_path = None
+    try:
+        out_dir.mkdir(exist_ok=True)
+        out_path = out_dir / f"bench_full_{time.strftime('%m%d_%H%M%S')}.json"
+        out_path.write_text(json.dumps(full, indent=1))
+    except OSError as exc:  # read-only checkout: keep benching
+        print(f"bench: could not write full payload: {exc!r}", file=sys.stderr)
+    print(json.dumps(full), file=sys.stderr)
+    flagship = {
+        k: timings[k]
+        for k in (
+            "extract_pipeline",
+            "score_report",
+            "extract_density_pipeline",
+            "extract_bte_pipeline",
         )
-    )
+        if k in timings
+    }
+    compact = {
+        "metric": "headline_queries_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": flagship,
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "replicate_flagship": replicate_flagship,
+        "extraction_docs": extras.get("extraction_docs"),
+        "extraction_docs_per_sec": extras.get("extraction_docs_per_sec"),
+        "density_docs_per_sec": extras.get("density_docs_per_sec"),
+        "bte_docs_per_sec": extras.get("bte_docs_per_sec"),
+        "host_ops_before": extras.get("host_ops_before"),
+        "host_ops_after": extras.get("host_ops_after"),
+        "full_results": str(out_path) if out_path else None,
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

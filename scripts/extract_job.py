@@ -26,6 +26,19 @@ def main() -> None:
         help="override cluster core count (defaultParallelism is "
         "unreliable in local-cluster mode before executors register)",
     )
+    ap.add_argument(
+        "--materialize", default="",
+        help="write the synth -> latest-crawl page fixture to this "
+        "parquet path and exit (no timed section)",
+    )
+    ap.add_argument(
+        "--pages-parquet", default="",
+        help="read the page fixture from this parquet instead of "
+        "re-synthesizing: the timed section becomes scan -> extraction "
+        "kernel, the production shape (pages come from a table, not a "
+        "generator), and the synth+window fixture cost is paid once "
+        "and shared by every leg of a scaling comparison",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,17 +69,43 @@ def main() -> None:
     shuffle_parts = str(n_parts)
     spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
 
-    # untimed warmup: spins up Python workers + codegen on 1 replica
-    warm = pages_df(spark, args.sf_dir, n_partitions=n_parts, replicate=1)
-    extracted_clean(extract_pages(latest_crawl(warm))).count()
+    if args.materialize:
+        # Fixture build (untimed): synth + latest-crawl window dedup,
+        # written once and shared by every leg of the scaling pair so
+        # the measured section is the steady-state scan -> kernel job.
+        pages = pages_df(
+            spark, args.sf_dir, n_partitions=n_parts, replicate=args.replicate
+        )
+        latest_crawl(pages).write.mode("overwrite").parquet(args.materialize)
+        n = spark.read.parquet(args.materialize).count()
+        print(json.dumps({"materialized": args.materialize, "n_docs": n}))
+        spark.stop()
+        return
 
-    pages = pages_df(spark, args.sf_dir, n_partitions=n_parts, replicate=args.replicate)
-    pipeline = extracted_clean(extract_pages(latest_crawl(pages)))
     extras = {}
-    if args.stage_breakdown:
-        t0 = time.time(); pages.count(); extras["t_synth"] = round(time.time() - t0, 3)
-        t0 = time.time(); latest_crawl(pages).count()
-        extras["t_synth_window"] = round(time.time() - t0, 3)
+    if args.pages_parquet:
+        # split the fixture fine enough that the CPU-bound kernel stage
+        # fills every core at both parallelism levels (the default 128m
+        # splits would under-partition the ~GB fixture for 32 cores)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+        src = spark.read.parquet(args.pages_parquet)
+        # untimed warmup: spins up Python workers + codegen on a slice
+        extracted_clean(extract_pages(src.limit(2000))).count()
+        pipeline = extracted_clean(extract_pages(src))
+    else:
+        # untimed warmup: spins up Python workers + codegen on 1 replica
+        warm = pages_df(spark, args.sf_dir, n_partitions=n_parts, replicate=1)
+        extracted_clean(extract_pages(latest_crawl(warm))).count()
+
+        pages = pages_df(
+            spark, args.sf_dir, n_partitions=n_parts, replicate=args.replicate
+        )
+        pipeline = extracted_clean(extract_pages(latest_crawl(pages)))
+        if args.stage_breakdown:
+            t0 = time.time(); pages.count()
+            extras["t_synth"] = round(time.time() - t0, 3)
+            t0 = time.time(); latest_crawl(pages).count()
+            extras["t_synth_window"] = round(time.time() - t0, 3)
     t0 = time.time()
     n_docs = pipeline.count()
     wall = time.time() - t0

@@ -27,6 +27,13 @@ def duck():
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Canonical frame for cross-engine comparison. Float columns are
+    compared BITWISE (IEEE-754 bits of the float64 value, NaN
+    canonicalized) — the driver's value-hash is exact, so a round-9
+    tolerance here would hide exactly the last-bit drift that turns a
+    locally-green query into an official red row (round 3's q19)."""
+    import numpy as np
+
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype == object:
@@ -34,7 +41,10 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         elif str(pdf[c].dtype).startswith("datetime"):
             pdf[c] = pdf[c].astype("datetime64[us]").astype(str)
         elif pdf[c].dtype.kind == "f":
-            pdf[c] = pdf[c].round(9)
+            a = pdf[c].astype(np.float64).to_numpy()
+            pdf[c] = np.where(
+                np.isnan(a), np.int64(-1), a.view(np.int64)
+            )
         elif pdf[c].dtype.kind in "iu":
             pdf[c] = pdf[c].astype("int64")
         elif pdf[c].dtype.kind == "b":

@@ -164,7 +164,9 @@ scored AS (
   CROSS JOIN vocab
   GROUP BY doc_id, lang
 )
-SELECT doc_id, lang, n_bigrams, n_oov, sum_nll_e6,
+SELECT doc_id, lang, n_bigrams,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST(sum_nll_e6 AS BIGINT) AS sum_nll_e6,
        ROUND(CAST(sum_nll_e6 AS DOUBLE) / 1e6 / n_bigrams, 6) AS avg_nll,
        ROUND(exp(ROUND(CAST(sum_nll_e6 AS DOUBLE) / 1e6 / n_bigrams, 6)), 3)
          AS ppl,
@@ -260,7 +262,8 @@ scored AS (
   FROM feat LEFT JOIN ratio USING (f)
   GROUP BY doc_id, lang
 )
-SELECT doc_id, lang, n_feats, log_weight_e6,
+SELECT doc_id, lang, n_feats,
+       CAST(log_weight_e6 AS BIGINT) AS log_weight_e6,
        ROUND(CAST(log_weight_e6 AS DOUBLE) / 1e6, 6) AS log_weight,
        doc_id % {REF_MOD} = 0 AS is_target
 FROM scored
@@ -315,9 +318,9 @@ SELECT lang,
        CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
             ELSE 'tail' END AS bucket,
        COUNT(*) AS n_docs,
-       SUM(n_bigrams) AS n_bigrams,
-       MIN(sum_nll_e6) AS min_nll_e6,
-       MAX(sum_nll_e6) AS max_nll_e6
+       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+       CAST(MIN(sum_nll_e6) AS BIGINT) AS min_nll_e6,
+       CAST(MAX(sum_nll_e6) AS BIGINT) AS max_nll_e6
 FROM b GROUP BY lang, bucket
 """
 
@@ -398,8 +401,8 @@ WITH d AS (
   FROM d
 )
 SELECT doc_id, shard, n_tokens,
-       (cum - n_tokens) // {PACK_SEQ_LEN} AS seq_idx,
-       (cum - n_tokens) % {PACK_SEQ_LEN} AS seq_offset,
+       CAST((cum - n_tokens) // {PACK_SEQ_LEN} AS BIGINT) AS seq_idx,
+       CAST((cum - n_tokens) % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset,
        (cum - 1) // {PACK_SEQ_LEN} > (cum - n_tokens) // {PACK_SEQ_LEN}
          AS spans_boundary
 FROM c
@@ -615,7 +618,9 @@ agg AS (
          SUM(CAST(f1 AND f2 AND f3 AND f4 AND f5 AS BIGINT)) AS n5
   FROM flags
 )
-SELECT stage_ord, stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+SELECT stage_ord, stage, CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_out AS BIGINT) AS n_out,
+       CAST(n_in - n_out AS BIGINT) AS n_dropped FROM (
   SELECT CAST(1 AS BIGINT) AS stage_ord, 'exact_dedup' AS stage,
          n0 AS n_in, n1 AS n_out FROM agg
   UNION ALL SELECT CAST(2 AS BIGINT), 'quality',    n1, n2 FROM agg

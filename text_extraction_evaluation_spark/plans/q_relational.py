@@ -1694,8 +1694,11 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one = F.lit(1).cast("decimal(3,2)")
     rev = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(3,2)"))
+    # revenue in exact scale-4 integer units (price*disc product has scale
+    # 4): the q17 cents pattern — the registry's only raw-DOUBLE aggregate
+    # was the round-3 red row, so no float leaves this query any more.
     return j.filter(b1 | b2 | b3).agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        (F.sum(rev) * F.lit(10000)).cast("bigint").alias("revenue_e4"),
         F.count(F.lit(1)).alias("n_items"),
         F.sum(b1.cast("bigint")).alias("n_branch1"),
         F.sum(b2.cast("bigint")).alias("n_branch2"),
@@ -1706,11 +1709,11 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q19_SQL = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-            AS DOUBLE) AS revenue,
+            * 10000 AS BIGINT) AS revenue_e4,
        COUNT(*) AS n_items,
-       SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS n_branch1,
-       SUM(CASE WHEN b2 THEN 1 ELSE 0 END) AS n_branch2,
-       SUM(CASE WHEN b3 THEN 1 ELSE 0 END) AS n_branch3
+       CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS n_branch1,
+       CAST(SUM(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS n_branch2,
+       CAST(SUM(CASE WHEN b3 THEN 1 ELSE 0 END) AS BIGINT) AS n_branch3
 FROM (
   SELECT l_extendedprice, l_discount,
          (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
@@ -1768,7 +1771,8 @@ WITH pos AS (
 ), stats AS (
   SELECT SUM(bal_cents) AS sum_cents, COUNT(*) AS n_pos FROM pos
 )
-SELECT band, COUNT(*) AS numcust, SUM(bal_cents) AS totacctbal_cents
+SELECT band, COUNT(*) AS numcust,
+       CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
 FROM pos, stats
 WHERE bal_cents * n_pos > sum_cents
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
