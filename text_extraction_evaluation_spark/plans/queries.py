@@ -11,8 +11,12 @@ directly above/below its SQL twin, so the pair stays in sync):
 * ``plans.common``       — shared helpers (_t, _docs_par, stopword SQL)
 * ``plans.q_relational`` — star-schema battery (SURVEY.md §2.2/2.4-2.7)
 * ``plans.q_corpus``     — text stats + every dedup tier
+* ``plans.q_nlp``        — BM25/TF-IDF/TextRank/BPE, decontamination,
+  mixtures, phrase/trigram/bitmap indexes
 * ``plans.q_embedding``  — ANN/similarity, specialty joins, TPC-H tail
 * ``plans.q_extraction`` — extraction-family gates + profiling/pivot
+* ``plans.q_webtext``    — crawl/host/URL/layout operators
+* ``plans.q_lm``         — perplexity, DSIR, packing, curation funnel
 
 Cross-engine determinism rules used throughout:
 * money/quantity sums go through DECIMAL casts (exact partial-agg-order
@@ -40,9 +44,18 @@ from .q_corpus import *  # noqa: F401,F403
 from .q_embedding import *  # noqa: F401,F403
 from .q_extraction import *  # noqa: F401,F403
 from .q_lm import *  # noqa: F401,F403
+from .q_nlp import *  # noqa: F401,F403
 from .q_relational import *  # noqa: F401,F403
 from .q_webtext import *  # noqa: F401,F403
-from . import q_corpus, q_embedding, q_extraction, q_lm, q_relational, q_webtext
+from . import (
+    q_corpus,
+    q_embedding,
+    q_extraction,
+    q_lm,
+    q_nlp,
+    q_relational,
+    q_webtext,
+)
 
 _MERGED = {
     **q_relational._REGISTRY,
@@ -51,6 +64,7 @@ _MERGED = {
     **q_extraction._REGISTRY,
     **q_webtext._REGISTRY,
     **q_lm._REGISTRY,
+    **q_nlp._REGISTRY,
 }
 
 # Driver-coverage ordering. The external correctness driver samples the
