@@ -84,10 +84,22 @@ def main() -> None:
 
     extras = {}
     if args.pages_parquet:
-        # split the fixture fine enough that the CPU-bound kernel stage
-        # fills every core at both parallelism levels (the default 128m
-        # splits would under-partition the ~GB fixture for 32 cores)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+        # split the fixture so the CPU-bound kernel stage gets
+        # ~partitions_per_core tasks per core at EITHER parallelism
+        # level (the default 128m splits would under-partition the
+        # ~100s-of-MB fixture for 32 cores, and a fixed small split
+        # would over-schedule the 8-core leg)
+        import pathlib as _pl
+
+        fixture_bytes = sum(
+            f.stat().st_size
+            for f in _pl.Path(args.pages_parquet).glob("*.parquet")
+        )
+        split = max(1_048_576, fixture_bytes // n_parts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set(
+            "spark.sql.files.openCostInBytes", str(max(65536, split // 8))
+        )
         src = spark.read.parquet(args.pages_parquet)
         # untimed warmup: spins up Python workers + codegen on a slice
         extracted_clean(extract_pages(src.limit(2000))).count()
