@@ -19,9 +19,17 @@ directly above/below its SQL twin, so the pair stays in sync):
 * ``plans.q_lm``         — perplexity, DSIR, packing, curation funnel
 
 Cross-engine determinism rules used throughout:
-* money/quantity sums go through DECIMAL casts (exact partial-agg-order
-  -independent arithmetic) and are cast to DOUBLE at the end;
-* double averages are ``round(x, 6)``;
+* money/quantity aggregates leave the query as exact integer units
+  (cents / scale-4 / ppm BIGINTs) wherever a consumer can rescale;
+  a raw ``cast("double")`` aggregate output is banned — round 3's one
+  exception (q19) was the round's one driver hash mismatch;
+* the DOUBLE columns that remain are quotients/ratios pinned with
+  ``round(x, 6)`` of exact-integer numerators/denominators, and the
+  oracle gates (pytest at sf0.001, scripts/sweep_oracle.py at sf0.01)
+  compare ALL float columns bitwise (IEEE-754 bits), so any
+  engine-order drift fails locally before the driver sees it;
+* SQL twins cast HUGEINT-producing outputs (DuckDB SUM/MIN/MAX over
+  integers) back to BIGINT so both engines agree on column kind;
 * hash primitives are md5-hex-prefix -> bigint (identical in both
   engines), never xxhash64/murmur (engine-specific);
 * every computed column is aliased identically on both sides (the
