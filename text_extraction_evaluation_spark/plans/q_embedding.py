@@ -1051,8 +1051,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     each vector only scores against its probed cells — the argmax and
     census stages are unchanged. Per-vector argmax is a
     (vec_id)-window row_number on (cos DESC, neighbor) — cos is
-    rounded to 4dp BEFORE ranking so the winner is tie-broken on
-    neighbor_id, not on sub-ulp float noise."""
+    pinned to exact scale-4 BIGINT units BEFORE ranking so the winner
+    is tie-broken on neighbor_id, not on sub-ulp float noise, and the
+    census average is a quotient of exact integer sums (an AVG over
+    round-4 doubles accumulates in engine-specific order and flipped
+    the round-6 boundary in 2/90 groups — caught by the round-4
+    bitwise float gate)."""
     emb = (
         _t(spark, sf_dir, "embeddings")
         .select(
@@ -1080,20 +1084,31 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    cos4 = F.round(dot / (F.col("nrm") * F.col("nn")), 4)
+    cos_e4 = F.round(dot / (F.col("nrm") * F.col("nn")) * 10000).cast("long")
     w = Window.partitionBy("vec_id").orderBy(
-        F.col("hard_cos").desc(), F.col("neighbor_id")
+        F.col("hard_cos_e4").desc(), F.col("neighbor_id")
     )
     hardest = (
         base.join(F.broadcast(other), F.col("label") != F.col("neighbor_label"))
-        .withColumn("hard_cos", cos4)
+        .withColumn("hard_cos_e4", cos_e4)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
     )
-    return hardest.groupBy("label", "neighbor_label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("hard_cos"), 6).alias("avg_hard_cos"),
-        F.max("hard_cos").alias("max_hard_cos"),
+    return (
+        hardest.groupBy("label", "neighbor_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("hard_cos_e4").alias("_sum_e4"),
+            F.max("hard_cos_e4").alias("max_hard_cos_e4"),
+        )
+        .withColumn(
+            "avg_hard_cos",
+            F.round(F.col("_sum_e4") / (F.col("n_vecs") * F.lit(10000.0)), 6),
+        )
+        .select(
+            "label", "neighbor_label", "n_vecs",
+            "avg_hard_cos", "max_hard_cos_e4",
+        )
     )
 
 
@@ -1106,16 +1121,18 @@ WITH n AS (
 ), pairs AS (
   SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
          b.label AS neighbor_label,
-         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS hard_cos
+         CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000)
+              AS BIGINT) AS hard_cos_e4
   FROM n a JOIN n b ON a.label <> b.label
 ), hardest AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-             ORDER BY hard_cos DESC, neighbor_id) AS rk
+             ORDER BY hard_cos_e4 DESC, neighbor_id) AS rk
   FROM pairs
 )
 SELECT label, neighbor_label, COUNT(*) AS n_vecs,
-       ROUND(AVG(hard_cos), 6) AS avg_hard_cos,
-       MAX(hard_cos) AS max_hard_cos
+       ROUND(CAST(SUM(hard_cos_e4) AS BIGINT)
+             / (COUNT(*) * 10000.0), 6) AS avg_hard_cos,
+       CAST(MAX(hard_cos_e4) AS BIGINT) AS max_hard_cos_e4
 FROM hardest WHERE rk = 1
 GROUP BY label, neighbor_label
 """
