@@ -31,6 +31,14 @@ INVARIANCE_QUERIES = [
     "crawl_budget_allocation",   # largest-remainder global ranking
     "q_events_interpolate",      # IGNORE-NULLS window neighbors on a spine
     "source_length_trend",       # integer normal-equation sums
+    # The round-4 audit's formerly order-dependent AVG-over-double
+    # queries, now pinned to per-row exact integer units — guarded here
+    # so the class can't regress.
+    "embedding_norms",           # scale-6 L2-norm units
+    "q_cube_order_stats",        # scale-4 price units under CUBE
+    "quality_filter",            # scale-6 ratio units
+    "q_events_hourly",           # scale-6 value units + decimal sum
+    "hard_negative_mining",      # scale-4 score units
 ]
 
 

@@ -96,7 +96,12 @@ FROM r WHERE nn_rank <= 5
 
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding L2-norm statistics."""
+    """Per-label embedding L2-norm statistics.
+
+    Norms are pinned to exact scale-6 BIGINT units per row before
+    aggregation — an AVG over raw doubles accumulates in
+    engine/partition-order-specific order (the q19 failure class), so
+    the average leaves as a round-6 quotient of the exact integer sum."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -104,24 +109,38 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
     return (
-        emb.withColumn("nrm", nrm)
+        emb.withColumn("nrm_e6", F.round(nrm * 1000000).cast("long"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("nrm"), 6).alias("avg_norm"),
-            F.round(F.min("nrm"), 6).alias("min_norm"),
-            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.sum("nrm_e6").alias("_sum_e6"),
+            F.min("nrm_e6").alias("_min_e6"),
+            F.max("nrm_e6").alias("_max_e6"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.col("_sum_e6") / (F.col("n_vecs") * F.lit(1000000.0)), 6
+            ).alias("avg_norm"),
+            F.round(F.col("_min_e6") / F.lit(1000000.0), 6).alias("min_norm"),
+            F.round(F.col("_max_e6") / F.lit(1000000.0), 6).alias("max_norm"),
         )
     )
 
 
 _EMB_NORMS_SQL = """
 WITH n AS (
-  SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  SELECT label,
+         CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+              embedding::DOUBLE[])) * 1000000) AS BIGINT) AS nrm_e6
   FROM embeddings
 )
-SELECT label, COUNT(*) AS n_vecs, ROUND(AVG(nrm), 6) AS avg_norm,
-       ROUND(MIN(nrm), 6) AS min_norm, ROUND(MAX(nrm), 6) AS max_norm
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(nrm_e6) AS BIGINT) / (COUNT(*) * 1000000.0), 6)
+         AS avg_norm,
+       ROUND(MIN(nrm_e6) / 1000000.0, 6) AS min_norm,
+       ROUND(MAX(nrm_e6) / 1000000.0, 6) AS max_norm
 FROM n GROUP BY label
 """
 
@@ -593,21 +612,44 @@ GROUP BY n_name
 
 def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all four grouping combinations in
-    one pass (partial-agg friendly; complements the rollup query)."""
+    one pass (partial-agg friendly; complements the rollup query).
+
+    Prices are pinned to exact scale-4 BIGINT units per row before the
+    cube so the average is a quotient of exact integers (AVG over raw
+    doubles is accumulation-order-dependent — the q19 failure class)."""
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.cube("o_orderstatus", "o_orderpriority")
+        orders.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 10000).cast("long").alias("tp_e4"),
+        )
+        .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_totalprice"),
+            F.sum("tp_e4").alias("_tp_e4"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            F.round(
+                F.col("_tp_e4") / (F.col("n_orders") * F.lit(10000.0)), 4
+            ).alias("avg_totalprice"),
         )
     )
 
 
 _CUBE_SQL = """
+WITH t AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS tp_e4
+  FROM orders
+)
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       ROUND(AVG(o_totalprice), 4) AS avg_totalprice
-FROM orders
+       ROUND(CAST(SUM(tp_e4) AS BIGINT) / (COUNT(*) * 10000.0), 4)
+         AS avg_totalprice
+FROM t
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -986,22 +1028,40 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (mean_len <= 10.0)
         & (stop_ratio >= 0.05)
     )
+    # per-doc ratios pinned to exact scale-6 BIGINT units before the
+    # census: AVG over raw doubles is accumulation-order-dependent (the
+    # q19 failure class) — averages leave as quotients of exact sums
     return (
         docs.select(
             "lang",
             keep.alias("keep"),
             n_tok.alias("n_tok"),
-            mean_len.alias("mean_len"),
-            stop_ratio.alias("stop_ratio"),
-            uniq_ratio.alias("uniq_ratio"),
+            F.round(mean_len * 1000000).cast("long").alias("ml_e6"),
+            F.round(stop_ratio * 1000000).cast("long").alias("sr_e6"),
+            F.round(uniq_ratio * 1000000).cast("long").alias("ur_e6"),
         )
         .groupBy("lang", "keep")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
-            F.round(F.avg("mean_len"), 6).alias("avg_mean_len"),
-            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
-            F.round(F.avg("uniq_ratio"), 6).alias("avg_uniq_ratio"),
+            F.sum("ml_e6").alias("_ml"),
+            F.sum("sr_e6").alias("_sr"),
+            F.sum("ur_e6").alias("_ur"),
+        )
+        .select(
+            "lang",
+            "keep",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("_ml") / (F.col("n_docs") * F.lit(1000000.0)), 6
+            ).alias("avg_mean_len"),
+            F.round(
+                F.col("_sr") / (F.col("n_docs") * F.lit(1000000.0)), 6
+            ).alias("avg_stop_ratio"),
+            F.round(
+                F.col("_ur") / (F.col("n_docs") * F.lit(1000000.0)), 6
+            ).alias("avg_uniq_ratio"),
         )
     )
 
@@ -1022,9 +1082,12 @@ SELECT lang,
        (n_tok >= 50 AND mean_len >= 3.0 AND mean_len <= 10.0 AND stop_ratio >= 0.05) AS keep,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-       ROUND(AVG(mean_len), 6) AS avg_mean_len,
-       ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio,
-       ROUND(AVG(uniq_ratio), 6) AS avg_uniq_ratio
+       ROUND(CAST(SUM(CAST(ROUND(mean_len * 1000000) AS BIGINT)) AS BIGINT)
+             / (COUNT(*) * 1000000.0), 6) AS avg_mean_len,
+       ROUND(CAST(SUM(CAST(ROUND(stop_ratio * 1000000) AS BIGINT)) AS BIGINT)
+             / (COUNT(*) * 1000000.0), 6) AS avg_stop_ratio,
+       ROUND(CAST(SUM(CAST(ROUND(uniq_ratio * 1000000) AS BIGINT)) AS BIGINT)
+             / (COUNT(*) * 1000000.0), 6) AS avg_uniq_ratio
 FROM f GROUP BY 1, 2
 """
 

@@ -240,19 +240,36 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-bucketed aggregation over the event stream table."""
+    """Time-bucketed aggregation over the event stream table.
+
+    Values are pinned to exact scale-6 BIGINT units per row before the
+    average (AVG over raw doubles is accumulation-order-dependent —
+    the q19 failure class); the sum already went through the exact
+    DECIMAL path."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.groupBy(
+        ev.select(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
             "event_type",
+            "value",
+            F.round(F.col("value") * 1000000).cast("long").alias("v_e6"),
         )
+        .groupBy("hour", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum("v_e6").alias("_v_e6"),
             F.round(
                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
             ).alias("sum_value"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            F.round(
+                F.col("_v_e6") / (F.col("n_events") * F.lit(1000000.0)), 6
+            ).alias("avg_value"),
+            "sum_value",
         )
     )
 
@@ -260,7 +277,8 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
-       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+             / (COUNT(*) * 1000000.0), 6) AS avg_value,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
