@@ -89,6 +89,16 @@ _MERGED = {
 # priority order (the five carried since round 2, the two remaining
 # kernel surfaces, then the heavyweight ANN / dedup / perplexity /
 # graph / curation families). Entries past the first 50 drain next round.
+#
+# ROUND-5 ROTATION (do this at round start, BEFORE any other work): the
+# round-4 driver sampled _DRIVER_FIRST[:50] at round end, so rotate
+# _DRIVER_FIRST[50:] (the 35 still-unsampled entries, from
+# "linear_probe_train" onward) to the front, and fill the remaining 15
+# slots of the 50-entry window with re-checks of anything red in
+# CORRECTNESS_r04 followed by high-value earlier greens
+# (extract_report_exact, q19_disjunctive_revenue, q1_pricing_summary,
+# dedup_minhash_lsh, ann_cosine_topk, ...). After that rotation every
+# registry entry has had an official CORRECTNESS row.
 _DRIVER_FIRST = [
     "q19_disjunctive_revenue",
     # -- carried since round 2, never sampled --
