@@ -19,7 +19,9 @@ Writes BENCH/scaling.json + BENCH/BASELINE.md.
 
 from __future__ import annotations
 
+import atexit
 import json
+import os
 import pathlib
 import statistics
 import subprocess
@@ -30,9 +32,15 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 # /dev/shm/spark-local, which interactive sessions (readers.get_spark)
 # use — an rm -rf there mid-run kills THEIR in-flight shuffles with
 # FileNotFoundException (observed: a concurrent pytest lost
-# temp_shuffle files when a bench launched).
-SHM = "/dev/shm/spark-local-bench"
+# temp_shuffle files when a bench launched). PID-suffixed because two
+# concurrent bench instances sharing one dir race the same way: one
+# instance's per-submit wipe killed the other's in-flight shuffle with
+# createTempShuffleBlock failures (observed when a duplicate watcher
+# double-launched the bench).
+SHM = f"/dev/shm/spark-local-bench-{os.getpid()}"
 
+
+atexit.register(lambda: subprocess.run(["rm", "-rf", SHM], check=False))
 
 PAGES_FIXTURE = "/dev/shm/scaling-pages-fixture.parquet"
 

@@ -5,6 +5,12 @@
 # low-capacity, evidence untouched) if the epoch degrades mid-run;
 # retry until the deadline.
 cd /root/repo
+# Single-instance guard: a duplicate watcher double-launches the bench,
+# and two concurrent benches contend for the same cores (observed: a
+# duplicate launched at the same probe tick and its sibling's shuffle
+# died mid-run). flock serializes on a host-wide lock.
+exec 9>/tmp/wait_and_scale.lock
+flock -n 9 || { echo "$(date +%H:%M:%S) another watcher holds the lock; exiting" >> /tmp/scale_watch.log; exit 0; }
 DEADLINE=$(( $(date +%s) + ${1:-7200} ))
 STABLE=0
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
