@@ -676,6 +676,47 @@ def span_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def page_byte_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-Arrow byte census — the ``mapInArrow`` kernel surface
+    (operators/arrowops.py page_byte_stats) under an oracle-checkable
+    harness: a pages-shaped frame is derived from ``documents``
+    (url = doc_id, html = UTF-8 bytes of the text in a minimal HTML
+    envelope) so the kernel's buffer-side outputs — payload size,
+    '<'/'>' byte counts, hex of the 16-byte magic window — replay
+    relationally in DuckDB (octet_length / replace / hex). The real
+    pipeline runs the same kernel over synthesized pages, where only
+    pytest gates it (tests/test_arrowops.py); this entry gives the
+    zero-pandas fast path an official driver row.
+
+    Scale shape: one map-only stage, no shuffle; the binary column
+    never materializes as per-row Python objects."""
+    from ..operators.arrowops import page_byte_stats
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")), "UTF-8"
+        ).alias("html"),
+    )
+    return page_byte_stats(docs)
+
+
+_PAGE_BYTE_CENSUS_SQL = """
+SELECT url,
+       CAST(octet_length(encode(w)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(w))
+            - octet_length(encode(replace(w, '<', ''))) AS BIGINT) AS n_lt,
+       CAST(octet_length(encode(w))
+            - octet_length(encode(replace(w, '>', ''))) AS BIGINT) AS n_gt,
+       left(lower(hex(encode(w))), 32) AS head16
+FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS url, '<p>' || text || '</p>' AS w
+  FROM documents
+) t
+"""
+
+
 # Frozen from scripts/freeze_fingerprints.py (pandas oracle replaying
 # the oldest/newest crawl split + per-url paragraph multiset diff).
 _SPAN_CHURN_CONST: dict[int, list[tuple]] = {
@@ -1821,6 +1862,7 @@ _REGISTRY = {
     "extractor_sign_test": (extractor_sign_test, _sign_test_sql()),
     "extractor_bootstrap_ci": (extractor_bootstrap_ci, _bootstrap_ci_sql()),
     "span_churn_census": (span_churn_census, _span_churn_sql()),
+    "page_byte_census": (page_byte_census, _PAGE_BYTE_CENSUS_SQL),
     "kmeans_embeddings": (kmeans_embeddings, _kmeans_sql()),
     "pca_power_iteration": (pca_power_iteration, _pca_sql()),
     "pca_project_census": (pca_project_census, _pca_project_sql()),

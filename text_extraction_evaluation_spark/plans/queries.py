@@ -92,13 +92,14 @@ _MERGED = {
 #
 # ROUND-5 ROTATION (do this at round start, BEFORE any other work): the
 # round-4 driver sampled _DRIVER_FIRST[:50] at round end, so rotate
-# _DRIVER_FIRST[50:] (the 35 still-unsampled entries, from
-# "linear_probe_train" onward) to the front, and fill the remaining 15
-# slots of the 50-entry window with re-checks of anything red in
-# CORRECTNESS_r04 followed by high-value earlier greens
-# (extract_report_exact, q19_disjunctive_revenue, q1_pricing_summary,
-# dedup_minhash_lsh, ann_cosine_topk, ...). After that rotation every
-# registry entry has had an official CORRECTNESS row.
+# _DRIVER_FIRST[50:] (the 36 still-unsampled entries, from
+# "pca_project_census" onward — page_byte_census displaced it from the
+# round-4 window) to the front, and fill the remaining 14 slots of the
+# 50-entry window with re-checks of anything red in CORRECTNESS_r04
+# followed by high-value earlier greens (extract_report_exact,
+# q19_disjunctive_revenue, q1_pricing_summary, dedup_minhash_lsh,
+# ann_cosine_topk, ...). After that rotation every registry entry has
+# had an official CORRECTNESS row.
 _DRIVER_FIRST = [
     "q19_disjunctive_revenue",
     # -- carried since round 2, never sampled --
@@ -107,8 +108,9 @@ _DRIVER_FIRST = [
     "ann_quality_filtered_topk",
     "q_events_props_map",
     "q_events_range_join",
-    # -- kernel surfaces (cogroup/align) --
+    # -- kernel surfaces (cogroup/align + raw-Arrow mapInArrow) --
     "span_churn_census",
+    "page_byte_census",
     # -- ANN tiers --
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
@@ -159,8 +161,8 @@ _DRIVER_FIRST = [
     "bpe_encode_census",
     "bpe_pair_census",
     "pca_power_iteration",
-    "pca_project_census",
     # ---- 50-entry driver window ends here; round-5 backlog follows ----
+    "pca_project_census",
     "linear_probe_train",
     "tfidf_top_terms",
     "textrank_keywords",
