@@ -42,7 +42,7 @@ print(int(_host_capacity()))" 2>/dev/null | tail -1)
   # overlap -> first 8-core leg 23.7k vs 30.6k clean, raw 0.388,
   # rejected by the keep-best guard). Don't count the tick stable
   # while local pytest/spark-submit/java processes are running.
-  if pgrep -f "pytest|spark-submit" >/dev/null 2>&1; then
+  if pgrep -f "pytest|spark-submit|sweep_oracle" >/dev/null 2>&1; then
     echo "$(date +%H:%M:%S) local contention (pytest/spark running); stable reset" >> /tmp/scale_watch.log
     STABLE=0
     sleep 100
