@@ -296,6 +296,9 @@ def main() -> None:
          "the prefix-filter theorem), so bucket sizes shrink exactly "
          "where the naive shingle index explodes; exact verify join "
          "after"),
+        ("page_byte_census", "raw-Arrow kernel surface: a single "
+         "map-only MapInArrow stage — no Exchange, no pandas "
+         "conversion, binary buffers scanned in place"),
     ]:
         fn, _ = SQL_CHECKED[name]
         sections.append((name, why, fn(spark, sf)))
