@@ -49,6 +49,7 @@ from oracle.run_oracle import (
 SF_DIRS = {
     "sf0.001": "/root/testdata/sf0.001/documents.parquet",
     "sf0.01": "/root/testdata/sf0.01/documents.parquet",
+    "sf0.1": "/root/testdata/sf0.1/documents.parquet",
 }
 
 
@@ -109,6 +110,26 @@ def main() -> None:
             f"LINE_CLEAN[{n_docs}] = ({len(spans)}, {int((~is_hot).sum())}, "
             f"{int(is_hot.sum())}, {spans.loc[is_hot, 'url'].nunique()}, {lc_fp})"
         )
+
+        # boilerplate_line_census: the two template lines whose GOOD-leak
+        # count is data-dependent (jusText heading rescue / neargood
+        # smoothing promote them next to good content on a per-doc
+        # basis). Every other template line's (n_urls, n_occurrences,
+        # leaks=0) is a closed form over the variant census — only these
+        # two need frozen oracle constants (plans/q_webtext.py).
+        from text_extraction_evaluation_spark.sources.synth import (
+            _NEARGOOD_BP,
+        )
+
+        ng_line = _NEARGOOD_BP[3:-4]  # strip <p> </p>
+        leak_rows = []
+        for line in ["section intro", ng_line]:
+            g = spans[spans["text"] == line]
+            leak_rows.append(
+                (line[:20], g["url"].nunique(), len(g),
+                 int((g["class_final"] == "good").sum()))
+            )
+        print(f"BOILERPLATE_LEAKS[{n_docs}] = {leak_rows}")
 
         c_fp = sum(
             fp48("|".join([r.url, r.extractor, r.dataset, str(r.matched),

@@ -85,7 +85,8 @@ def extract_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_FP_SQL = """
 SELECT n_rows, fp_sum FROM (VALUES
   (1000,  CAST(500 AS BIGINT), CAST(70158527454893740 AS BIGINT)),
-  (10000, CAST(500 AS BIGINT), CAST(69798393735633324 AS BIGINT))
+  (10000, CAST(500 AS BIGINT), CAST(69798393735633324 AS BIGINT)),
+  (100000, CAST(5000 AS BIGINT), CAST(694371138262639524 AS BIGINT))
 ) t(n_events, n_rows, fp_sum)
 WHERE n_events = (SELECT COUNT(*) FROM events)
 """
@@ -122,7 +123,9 @@ SELECT n_rows, fp_sum, ld_q9_sum, sd_q9_sum FROM (VALUES
   (1000,  CAST(3413 AS BIGINT), CAST(475679151384561777 AS BIGINT),
           CAST(1520808857500 AS BIGINT), CAST(528771530360 AS BIGINT)),
   (10000, CAST(3244 AS BIGINT), CAST(457125634549963469 AS BIGINT),
-          CAST(1520808857500 AS BIGINT), CAST(448049649062 AS BIGINT))
+          CAST(1520808857500 AS BIGINT), CAST(448049649062 AS BIGINT)),
+  (100000, CAST(33096 AS BIGINT), CAST(4662417058814948669 AS BIGINT),
+          CAST(15262088575000 AS BIGINT), CAST(4567498004107 AS BIGINT))
 ) t(n_events, n_rows, fp_sum, ld_q9_sum, sd_q9_sum)
 WHERE n_events = (SELECT COUNT(*) FROM events)
 """
@@ -169,7 +172,11 @@ FROM (VALUES
   (10000, CAST(500 AS BIGINT), CAST(70349754476732240 AS BIGINT),
           CAST(264560467807 AS BIGINT), CAST(262334017192 AS BIGINT),
           CAST(261836346105 AS BIGINT), CAST(264796460241 AS BIGINT),
-          CAST(262640683137 AS BIGINT), CAST(262102801803 AS BIGINT))
+          CAST(262640683137 AS BIGINT), CAST(262102801803 AS BIGINT)),
+  (100000, CAST(5000 AS BIGINT), CAST(696798532720342584 AS BIGINT),
+          CAST(2567702570037 AS BIGINT), CAST(2530744162278 AS BIGINT),
+          CAST(2535684022995 AS BIGINT), CAST(2569235845660 AS BIGINT),
+          CAST(2532712423383 AS BIGINT), CAST(2537405068671 AS BIGINT))
 ) t(n_events, n_rows, fp_sum, p_q9_sum, r_q9_sum, f1_q9_sum, pb_q9_sum, rb_q9_sum, fb_q9_sum)
 WHERE n_events = (SELECT COUNT(*) FROM events)
 """
@@ -195,7 +202,11 @@ SELECT extractor, dataset, status, n_docs FROM (VALUES
   (10000, 'justext_spark', 'cleaneval',  'empty', CAST(111 AS BIGINT)),
   (10000, 'justext_spark', 'cleaneval',  'ok',    CAST(139 AS BIGINT)),
   (10000, 'justext_spark', 'googlenews', 'empty', CAST(115 AS BIGINT)),
-  (10000, 'justext_spark', 'googlenews', 'ok',    CAST(135 AS BIGINT))
+  (10000, 'justext_spark', 'googlenews', 'ok',    CAST(135 AS BIGINT)),
+  (100000, 'justext_spark', 'cleaneval',  'empty', CAST(1172 AS BIGINT)),
+  (100000, 'justext_spark', 'cleaneval',  'ok',    CAST(1328 AS BIGINT)),
+  (100000, 'justext_spark', 'googlenews', 'empty', CAST(1189 AS BIGINT)),
+  (100000, 'justext_spark', 'googlenews', 'ok',    CAST(1311 AS BIGINT))
 ) t(n_events, extractor, dataset, status, n_docs)
 WHERE n_events = (SELECT COUNT(*) FROM events)
 """
@@ -260,6 +271,28 @@ _WORST_DOCS_CONST: dict[int, list[tuple]] = {
         ("googlenews", 9, "http://host3.example/373", "0.8235294117647058", "1.0", "0.7"),
         ("googlenews", 10, "http://host16.example/312", "0.8322981366459626", "0.7127659574468085", "1.0"),
     ],
+    100000: [
+        ("cleaneval", 1, "http://host16.example/2902", "0.5954198473282443", "1.0", "0.42391304347826086"),
+        ("cleaneval", 2, "http://host22.example/1206", "0.5984251968503937", "1.0", "0.42696629213483145"),
+        ("cleaneval", 3, "http://host14.example/902", "0.624113475177305", "1.0", "0.4536082474226804"),
+        ("cleaneval", 4, "http://skew.example/1100", "0.625", "1.0", "0.45454545454545453"),
+        ("cleaneval", 5, "http://host8.example/3782", "0.6299212598425197", "1.0", "0.45977011494252873"),
+        ("cleaneval", 6, "http://host0.example/4662", "0.6356589147286822", "1.0", "0.4659090909090909"),
+        ("cleaneval", 7, "http://host27.example/4726", "0.6356589147286822", "1.0", "0.4659090909090909"),
+        ("cleaneval", 8, "http://host6.example/2966", "0.6371681415929203", "1.0", "0.4675324675324675"),
+        ("cleaneval", 9, "http://host2.example/4886", "0.6474820143884892", "1.0", "0.4787234042553192"),
+        ("cleaneval", 10, "http://host31.example/2806", "0.6518518518518518", "1.0", "0.4835164835164835"),
+        ("googlenews", 1, "http://host11.example/2934", "0.5846153846153846", "1.0", "0.41304347826086957"),
+        ("googlenews", 2, "http://host34.example/774", "0.5864661654135339", "1.0", "0.4148936170212766"),
+        ("googlenews", 3, "http://host16.example/534", "0.5899280575539569", "1.0", "0.41836734693877553"),
+        ("googlenews", 4, "http://host16.example/1718", "0.5957446808510638", "1.0", "0.42424242424242425"),
+        ("googlenews", 5, "http://host28.example/1212", "0.60431654676259", "1.0", "0.4329896907216495"),
+        ("googlenews", 6, "http://host4.example/2150", "0.6074074074074074", "1.0", "0.43617021276595747"),
+        ("googlenews", 7, "http://host29.example/1990", "0.6119402985074627", "1.0", "0.44086021505376344"),
+        ("googlenews", 8, "http://host21.example/4054", "0.6131386861313868", "1.0", "0.4421052631578947"),
+        ("googlenews", 9, "http://host22.example/4351", "0.6176470588235294", "1.0", "0.44680851063829785"),
+        ("googlenews", 10, "http://host17.example/54", "0.6190476190476191", "1.0", "0.4482758620689655"),
+    ],
 }
 
 
@@ -311,7 +344,8 @@ def density_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DENSITY_FP_SQL = """
 SELECT n_rows, fp_sum FROM (VALUES
   (1000,  CAST(500 AS BIGINT), CAST(72656019036639518 AS BIGINT)),
-  (10000, CAST(500 AS BIGINT), CAST(70358403449349225 AS BIGINT))
+  (10000, CAST(500 AS BIGINT), CAST(70358403449349225 AS BIGINT)),
+  (100000, CAST(5000 AS BIGINT), CAST(712005036859603059 AS BIGINT))
 ) t(n_events, n_rows, fp_sum)
 WHERE n_events = (SELECT COUNT(*) FROM events)
 """
@@ -349,7 +383,8 @@ def bte_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BTE_FP_SQL = """
 SELECT n_rows, fp_sum FROM (VALUES
   (1000,  CAST(500 AS BIGINT), CAST(67244854553454784 AS BIGINT)),
-  (10000, CAST(500 AS BIGINT), CAST(70304297135791617 AS BIGINT))
+  (10000, CAST(500 AS BIGINT), CAST(70304297135791617 AS BIGINT)),
+  (100000, CAST(5000 AS BIGINT), CAST(714671973065561049 AS BIGINT))
 ) t(n_events, n_rows, fp_sum)
 WHERE n_events = (SELECT COUNT(*) FROM events)
 """
@@ -401,6 +436,14 @@ _EXTRACTOR_RANKING_CONST: dict[int, list[tuple]] = {
         ("googlenews", 1, "justext_spark", 135, 115, 0),
         ("googlenews", 2, "bte", 250, 0, 0),
         ("googlenews", 3, "textdensity", 200, 50, 0),
+    ],
+    100000: [
+        ("cleaneval", 1, "justext_spark", 1328, 1172, 0),
+        ("cleaneval", 2, "bte", 2500, 0, 0),
+        ("cleaneval", 3, "textdensity", 1980, 520, 0),
+        ("googlenews", 1, "justext_spark", 1311, 1189, 0),
+        ("googlenews", 2, "bte", 2500, 0, 0),
+        ("googlenews", 3, "textdensity", 1984, 516, 0),
     ],
 }
 
@@ -619,6 +662,10 @@ _BOOTSTRAP_CI_CONST: dict[int, list[tuple]] = {
         ("cleaneval", 139, 200, 63976, 32421, 94395, 200),
         ("googlenews", 135, 200, 76837, 40818, 114320, 200),
     ],
+    100000: [
+        ("cleaneval", 1325, 200, 76495, 63875, 90264, 200),
+        ("googlenews", 1302, 200, 77596, 64980, 90195, 200),
+    ],
 }
 
 
@@ -722,6 +769,7 @@ FROM (
 _SPAN_CHURN_CONST: dict[int, list[tuple]] = {
     1000: [("cleaneval", 25, 246, 180, 68, 112, 178)],
     10000: [("cleaneval", 25, 259, 184, 71, 113, 188)],
+    100000: [("cleaneval", 250, 2315, 1850, 702, 1148, 1613)],
 }
 
 
@@ -754,6 +802,10 @@ _SIGN_TEST_CONST: dict[int, list[tuple]] = {
     10000: [
         ("cleaneval", 139, 95, 24, 20, 6508559),
         ("googlenews", 135, 90, 31, 14, 5363636),
+    ],
+    100000: [
+        ("cleaneval", 1325, 924, 277, 124, 18669504),
+        ("googlenews", 1302, 898, 259, 145, 18785994),
     ],
 }
 
@@ -1612,6 +1664,14 @@ _REPORT_EXACT_CONST: dict[int, list[tuple]] = {
         ("justext_spark", "googlenews", 135, 115, 0, 131516997098, 129117426985, 129670080334, 8779, 9065, 13501),
         ("textdensity", "cleaneval", 199, 51, 0, 131570597340, 154488413546, 141460486883, 9973, 12064, 13664),
         ("textdensity", "googlenews", 200, 50, 0, 129475690585, 149490566036, 137873269940, 9764, 11702, 13501),
+    ],
+    100000: [
+        ("bte", "cleaneval", 2500, 0, 0, 1683303572732, 2063773803521, 1834288833043, 112007, 140178, 135859),
+        ("bte", "googlenews", 2500, 0, 0, 1903505368932, 2247592802839, 2044884947694, 121191, 144192, 134845),
+        ("justext_spark", "cleaneval", 1328, 1172, 0, 1286167828354, 1274805093218, 1273642408603, 86254, 89934, 135859),
+        ("justext_spark", "googlenews", 1311, 1189, 0, 1281534741683, 1255939069060, 1262041614392, 85027, 87604, 134845),
+        ("textdensity", "cleaneval", 1980, 520, 0, 1261414569545, 1481572118775, 1355305462032, 95888, 116519, 135859),
+        ("textdensity", "googlenews", 1984, 516, 0, 1284565180124, 1491686033474, 1372971347667, 96758, 116097, 134845),
     ],
 }
 

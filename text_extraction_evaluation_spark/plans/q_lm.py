@@ -112,9 +112,15 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(nll_e6).alias("sum_nll_e6"),
         )
     )
-    avg_nll = F.round(
-        F.col("sum_nll_e6").cast("double") / 1e6 / F.col("n_bigrams"), 6
-    )
+    # Truncating integer division BEFORE the float cast: sum_nll_e6 is
+    # a micro-nat BIGINT and n_bigrams an exact count, so the quotient
+    # in micro-nats is engine-exact, and /1e6 is then a single IEEE op
+    # on identical inputs. (A ROUND(x, 6) here hit an exact decimal tie
+    # at sf0.1 — 81578244/24 = 3399093.5 µnats — where Spark and DuckDB
+    # legitimately disagree; integer truncation has no tie to disagree
+    # on. Values are non-negative: ln((c1+v)/(c2+1)) >= 0 since
+    # c1 >= c2 and v >= 1.)
+    avg_nll = F.expr("sum_nll_e6 DIV n_bigrams").cast("double") / F.lit(1e6)
     return scored.select(
         "doc_id",
         "lang",
@@ -167,8 +173,8 @@ scored AS (
 SELECT doc_id, lang, n_bigrams,
        CAST(n_oov AS BIGINT) AS n_oov,
        CAST(sum_nll_e6 AS BIGINT) AS sum_nll_e6,
-       ROUND(CAST(sum_nll_e6 AS DOUBLE) / 1e6 / n_bigrams, 6) AS avg_nll,
-       ROUND(exp(ROUND(CAST(sum_nll_e6 AS DOUBLE) / 1e6 / n_bigrams, 6)), 3)
+       CAST(sum_nll_e6 // n_bigrams AS DOUBLE) / 1e6 AS avg_nll,
+       ROUND(exp(CAST(sum_nll_e6 // n_bigrams AS DOUBLE) / 1e6), 3)
          AS ppl,
        doc_id % {REF_MOD} = 0 AS is_ref
 FROM scored

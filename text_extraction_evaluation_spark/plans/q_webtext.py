@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import md5_int, tokens_col, word_shingles_all
+from ..sources import synth as _synth
 from .common import _t
 from .q_extraction import _fp48
 
@@ -376,33 +377,78 @@ def boilerplate_line_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Intent-built twin: the surviving lines are exactly the synth template
-# boilerplate (nav + footer on every page; the 3 sidebar lines, twice
-# per page, on effective-variant 8/15 pages after latest-crawl dedup);
-# their counts reduce to doc_id arithmetic over `documents`. The
-# strings are the segmenter's exact paragraph texts (link texts joined
-# by single spaces), cross-checked against the pinned pure-Python
-# oracle when this query landed.
+# Intent-built twin: every surviving line is synth template boilerplate
+# (sources/synth.py), and every count reduces to doc_id arithmetic over
+# `documents` via the effective-variant census (doc_id % 16, +2 for the
+# 5% second-crawl docs that latest-crawl keeps). Which lines cross the
+# df>=50 threshold depends on corpus size: at 500 docs only nav/footer/
+# sidebar survive; at 5000 docs every per-variant template line does.
+# The strings are the segmenter's exact paragraph texts (link texts
+# joined by single spaces), cross-checked against the pinned
+# pure-Python oracle when this query landed. The ONLY data-dependent
+# values are the GOOD-leak counts of 'section intro' (jusText heading
+# rescue fires per-doc) and the neargood paragraph (neargood->good
+# smoothing fires per-doc); those two are frozen oracle constants
+# keyed by corpus size (scripts/freeze_fingerprints.py) — an unknown
+# corpus size joins to NULL and fails loudly rather than silently.
+_NG_LINE = _synth._NEARGOOD_BP[3:-4]  # strip <p> </p>: the segmenter text
+
 _LINE_CENSUS_SQL = f"""
 WITH v AS (
   SELECT (doc_id % 16 + CASE WHEN doc_id % 20 = 7 THEN 2 ELSE 0 END) % 16
            AS v_eff
   FROM documents
-), n AS (SELECT COUNT(*) AS n_docs FROM documents),
-sb AS (SELECT COUNT(*) AS n_sb FROM v WHERE v_eff IN (8, 15))
+), c AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(*) FILTER (WHERE v_eff = 1)  AS v1,
+         COUNT(*) FILTER (WHERE v_eff = 4)  AS v4,
+         COUNT(*) FILTER (WHERE v_eff = 5)  AS v5,
+         COUNT(*) FILTER (WHERE v_eff = 7)  AS v7,
+         COUNT(*) FILTER (WHERE v_eff = 8)  AS v8,
+         COUNT(*) FILTER (WHERE v_eff = 12) AS v12,
+         COUNT(*) FILTER (WHERE v_eff = 14) AS v14,
+         COUNT(*) FILTER (WHERE v_eff IN (8, 15)) AS sb
+  FROM v
+), leaks AS (
+  SELECT * FROM (VALUES
+    (5000, CAST(226 AS BIGINT), CAST(215 AS BIGINT))
+  ) t(n_docs, intro_leaks, ng_leaks)
+)
 SELECT line, n_urls, n_occurrences, n_good_leaks FROM (
   SELECT 'portal newsfeed contact login subscribe' AS line,
          n_docs AS n_urls, n_docs AS n_occurrences,
-         CAST(0 AS BIGINT) AS n_good_leaks FROM n
+         CAST(0 AS BIGINT) AS n_good_leaks FROM c
   UNION ALL
   SELECT '© 2024 Synth Portal. All rights reserved. terms privacy',
-         n_docs, n_docs, CAST(0 AS BIGINT) FROM n
+         n_docs, n_docs, CAST(0 AS BIGINT) FROM c
   UNION ALL
-  SELECT 'promo banner', n_sb, 2 * n_sb, CAST(0 AS BIGINT) FROM sb
+  SELECT 'promo banner', sb, 2 * sb, CAST(0 AS BIGINT) FROM c
   UNION ALL
-  SELECT 'trending widget', n_sb, 2 * n_sb, CAST(0 AS BIGINT) FROM sb
+  SELECT 'trending widget', sb, 2 * sb, CAST(0 AS BIGINT) FROM c
   UNION ALL
-  SELECT 'cookie notice', n_sb, 2 * n_sb, CAST(0 AS BIGINT) FROM sb
+  SELECT 'cookie notice', sb, 2 * sb, CAST(0 AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'archive index', v1, 4 * v1, CAST(0 AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'orphan heading', v5, v5, CAST(0 AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'gallery teaser snippet', v5, 12 * v5, CAST(0 AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'alpha pick', v7, v7, CAST(0 AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'beta pick', v7, v7, CAST(0 AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'café menü promo', v12, v12, CAST(0 AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'signup widget', v14, v14, CAST(0 AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'submit entry', v14, v14, CAST(0 AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'section intro', v4, v4, l.intro_leaks
+  FROM c LEFT JOIN leaks l ON l.n_docs = c.n_docs
+  UNION ALL
+  SELECT '{_NG_LINE}', v8, 2 * v8, l.ng_leaks
+  FROM c LEFT JOIN leaks l ON l.n_docs = c.n_docs
 )
 WHERE n_urls >= {LINE_DF_THRESHOLD}
 """
@@ -471,7 +517,9 @@ FROM (VALUES
   (1000,  CAST(3413 AS BIGINT), CAST(2077 AS BIGINT), CAST(1336 AS BIGINT),
           CAST(500 AS BIGINT), CAST(289211926507667724 AS BIGINT)),
   (10000, CAST(3244 AS BIGINT), CAST(1908 AS BIGINT), CAST(1336 AS BIGINT),
-          CAST(500 AS BIGINT), CAST(260608932958251538 AS BIGINT))
+          CAST(500 AS BIGINT), CAST(260608932958251538 AS BIGINT)),
+  (100000, CAST(33096 AS BIGINT), CAST(10976 AS BIGINT), CAST(22120 AS BIGINT),
+          CAST(5000 AS BIGINT), CAST(1545418954771819716 AS BIGINT))
 ) t(n_events, n_lines, n_kept, n_dropped, n_urls_touched, kept_fp_sum)
 WHERE n_events = (SELECT COUNT(*) FROM events)
 """
