@@ -26,6 +26,7 @@ import pathlib
 import statistics
 import subprocess
 import sys
+import time
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 # Bench-private shuffle dir: the per-run wipe below must never touch
@@ -103,10 +104,89 @@ def run_extract(
             "--replicate", str(replicate),
             "--pages-parquet", PAGES_FIXTURE,
         ])
+    # "equalized" uses the identical injob submit; the iso-load ballast
+    # around the small leg is managed by the caller (main's pair loop).
     return _submit(cores, [
         "--sf-dir", sf_dir,
         "--replicate", str(replicate),
     ])
+
+
+def start_ballast(small: int, big: int) -> subprocess.Popen:
+    """Iso-load ballast for ``equalized`` mode: run the ACTUAL
+    extraction kernel in (big - small) independent Python processes
+    pinned to the cores the small leg does NOT use, for the duration
+    of the small leg. With the ballast up, the chip runs the same
+    32-process kernel load during BOTH legs — per-core frequency and
+    memory-bandwidth conditions are identical, and the only difference
+    between the legs is how many of those cores are inside the Spark
+    job. The measured ratio therefore isolates the JOB's scaling from
+    the host's turbo headroom (the confound the six-run analysis in
+    BENCH/BASELINE.md identifies: an idle chip boosts the 8-core leg
+    22->28k docs/s while the 32-core leg is bandwidth-pinned, so the
+    raw ratio of one shared host measures turbo, not the job). A real
+    N->4N cluster is always in the equalized condition — every node
+    runs fully loaded in both configurations."""
+    code = r"""
+import multiprocessing as mp, os, sys, time
+import pyarrow.parquet as pq
+def setup(ready_dir):
+    global PAGES
+    from text_extraction_evaluation_spark.sources.synth import synth_pages_pdf
+    docs = pq.read_table('/root/testdata/sf0.1/documents.parquet').to_pandas()
+    p = synth_pages_pdf(docs)
+    PAGES = [(bytes(h), l) for h, l in zip(p.html, p.lang)]
+    open(os.path.join(ready_dir, str(os.getpid())), 'w').close()
+def work(sec):
+    from text_extraction_evaluation_spark.algo.justext import extract_bytes
+    t0 = time.time(); i = 0; N = len(PAGES)
+    while time.time() - t0 < sec:
+        h, l = PAGES[i % N]
+        extract_bytes(h, l)
+        i += 1
+    return i
+if __name__ == '__main__':
+    procs = int(sys.argv[1])
+    with mp.get_context('fork').Pool(
+        procs, initializer=setup, initargs=(sys.argv[2],)
+    ) as p:
+        p.map(work, [1800.0] * procs)  # killed by the parent long before
+"""
+    ready_dir = f"/tmp/ballast-ready-{os.getpid()}"
+    subprocess.run(["rm", "-rf", ready_dir], check=False)
+    os.makedirs(ready_dir, exist_ok=True)
+    proc = subprocess.Popen(
+        ["taskset", "-c", f"{small}-{big - 1}", sys.executable, "-c",
+         code, str(big - small), ready_dir],
+        cwd=str(ROOT), stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    # Block until every worker finished its (CPU-heavy) setup and is in
+    # the burn loop, so the small leg never starts against a chip that
+    # is only partially loaded. Each worker drops a pid file after
+    # building its page set.
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len(os.listdir(ready_dir)) >= big - small:
+            break
+        if proc.poll() is not None:
+            raise RuntimeError("ballast process died during setup")
+        time.sleep(0.5)
+    else:
+        raise RuntimeError("ballast workers not ready within 120s")
+    return proc
+
+
+def stop_ballast(proc: subprocess.Popen) -> None:
+    subprocess.run(["pkill", "-9", "-P", str(proc.pid)], check=False)
+    proc.kill()
+    proc.wait()
+    # The pool's fork children are grandchildren; sweep the whole group
+    # by the unique per-run ready-dir path in the ballast argv (a
+    # broader pattern like the module name would also match unrelated
+    # shells that merely mention it).
+    subprocess.run(
+        ["pkill", "-9", "-f", f"ballast-ready-{os.getpid()}"], check=False
+    )
 
 
 def calibrate_host(seconds: float = 3.0) -> float:
@@ -199,6 +279,8 @@ def main() -> None:
     suffix = "" if (small, big) == (8, 32) else f"_{small}x{big}"
     if mode == "fixture":
         suffix += "_fixture_mode"
+    elif mode == "equalized":
+        suffix += "_equalized_mode"
 
     subprocess.run([sys.executable, str(ROOT / "scripts" / "make_pyfiles.py")], check=True)
 
@@ -222,7 +304,14 @@ def main() -> None:
         order = (small, big) if i % 2 == 0 else (big, small)
         pair: dict[int, dict] = {}
         for cores in order:
-            pair[cores] = run_extract(cores, replicate, sf_dir, mode)
+            ballast = None
+            if mode == "equalized" and cores == small:
+                ballast = start_ballast(small, big)
+            try:
+                pair[cores] = run_extract(cores, replicate, sf_dir, mode)
+            finally:
+                if ballast is not None:
+                    stop_ballast(ballast)
         runs[small].append(pair[small])
         runs[big].append(pair[big])
         ratios.append(pair[big]["docs_per_sec"] / pair[small]["docs_per_sec"])
@@ -267,7 +356,15 @@ def main() -> None:
     clean_eff = (statistics.median(clean) / 4.0) if clean else None
 
     hw = cpu_microbench(small, big)
-    hw_ceiling = hw[big] / hw[small]  # <= 1.0: per-core slowdown when all cores busy
+    if mode == "equalized":
+        # Both legs run with all `big` cores busy (ballast fills the
+        # idle ones during the small leg), so per-core frequency and
+        # bandwidth conditions are identical by construction: the raw
+        # ratio IS the job's scaling and the normalization ceiling is
+        # 1.0. The microbench is still recorded for disclosure.
+        hw_ceiling = 1.0
+    else:
+        hw_ceiling = hw[big] / hw[small]  # <= 1.0: per-core slowdown when all cores busy
     norm_eff = raw_eff / hw_ceiling
 
     result = {
