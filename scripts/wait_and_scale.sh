@@ -4,10 +4,12 @@
 # itself aborts (rc 3 unstable / rc 4 low-capacity, evidence
 # untouched) if the epoch degrades mid-run; retry until the deadline.
 #
-# Usage: wait_and_scale.sh [deadline_sec] [cap_ceiling_ops] [small] [big] [replicate]
+# Usage: wait_and_scale.sh [deadline_sec] [cap_ceiling_ops] [small] [big] [replicate] [mode]
 #   small/big default 8/32 (the headline pair); pass 4 16 to hunt the
 #   clean-hardware 4v16 replication instead (side files, never touches
-#   the 8x32 headline). replicate defaults 512.
+#   the 8x32 headline). replicate defaults 512. mode defaults injob;
+#   pass "equalized" on a foreign host regime (see the rc=5 gate in
+#   scaling_bench.py) — iso-load ratios are node-independent.
 cd /root/repo
 # Single-instance guard: a duplicate watcher double-launches the bench,
 # and two concurrent benches contend for the same cores (observed: a
@@ -19,7 +21,9 @@ DEADLINE=$(( $(date +%s) + ${1:-7200} ))
 SMALL=${3:-8}
 BIG=${4:-32}
 REPL=${5:-512}
+MODE=${6:-injob}
 if [ "$SMALL" = 8 ] && [ "$BIG" = 32 ]; then SUFFIX=""; else SUFFIX="_${SMALL}x${BIG}"; fi
+if [ "$MODE" = "equalized" ]; then SUFFIX="${SUFFIX}_equalized_mode"; fi
 STABLE=0
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   CAP=$(python -c "
@@ -42,7 +46,7 @@ print(int(_host_capacity()))" 2>/dev/null | tail -1)
   # overlap -> first 8-core leg 23.7k vs 30.6k clean, raw 0.388,
   # rejected by the keep-best guard). Don't count the tick stable
   # while local pytest/spark-submit/java processes are running.
-  if pgrep -f "pytest|spark-submit|sweep_oracle" >/dev/null 2>&1; then
+  if pgrep -f "pytest|spark-submit|sweep_oracle|bench\.py" >/dev/null 2>&1; then
     echo "$(date +%H:%M:%S) local contention (pytest/spark running); stable reset" >> /tmp/scale_watch.log
     STABLE=0
     sleep 100
@@ -51,7 +55,7 @@ print(int(_host_capacity()))" 2>/dev/null | tail -1)
   if [ "$CAP" -ge 470000000 ] 2>/dev/null && [ "$CAP" -le "$CEIL" ] 2>/dev/null; then STABLE=$((STABLE+1)); else STABLE=0; fi
   echo "$(date +%H:%M:%S) capacity=$CAP stable=$STABLE pair=${SMALL}v${BIG}" >> /tmp/scale_watch.log
   if [ "$STABLE" -ge 2 ]; then
-    echo "$(date +%H:%M:%S) launching scaling bench ${SMALL}v${BIG} repl=$REPL" >> /tmp/scale_watch.log
+    echo "$(date +%H:%M:%S) launching scaling bench ${SMALL}v${BIG} repl=$REPL mode=$MODE" >> /tmp/scale_watch.log
     # replicate=512 amortizes the fixed ~9s submit+planning overhead
     # (the Amdahl term BASELINE_4x16.md isolates) — the lever VERDICT
     # r2 #4 names. 3 interleaved pairs (the methodology's documented
@@ -59,7 +63,7 @@ print(int(_host_capacity()))" 2>/dev/null | tail -1)
     # ~10-minute period, a 5-pair run almost always straddles a dip
     # and trips the rc-3 stability gate; a 3-pair run can fit one
     # window. The keep-best-raw guard below still protects evidence.
-    python scripts/scaling_bench.py /root/testdata/sf0.1 "$REPL" 3 "$SMALL" "$BIG" >> /tmp/scale_watch.log 2>&1
+    python scripts/scaling_bench.py /root/testdata/sf0.1 "$REPL" 3 "$SMALL" "$BIG" "$MODE" >> /tmp/scale_watch.log 2>&1
     RC=$?
     echo "$(date +%H:%M:%S) scaling bench rc=$RC" >> /tmp/scale_watch.log
     if [ "$RC" -eq 0 ]; then
