@@ -61,11 +61,14 @@ def test_extract_kernel_input_is_pruned(spark):
 
     pages = pages_df(spark, SF0001, n_partitions=4)
     # pages carries a 'text' (gold) column; the kernel must not consume
-    # it — mapInPandas reads whole rows, so the explicit select before
-    # the kernel is what keeps gold text out of the Arrow channel
+    # it — the python-map stage reads whole rows, so the explicit select
+    # before the kernel is what keeps gold text out of the Arrow channel
     plan = optimized_of(extract_pages(pages))
     lines = plan.splitlines()
-    kernel_idx = next(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    kernel_idx = next(
+        i for i, ln in enumerate(lines)
+        if "MapInArrow" in ln or "MapInPandas" in ln
+    )
     child_project = next(
         ln for ln in lines[kernel_idx + 1:] if "Project [" in ln or "Project[" in ln
     )

@@ -1,6 +1,6 @@
 """E1 — the extraction operator (SURVEY.md §2.3).
 
-One ``mapInPandas`` Arrow kernel per page: html bytes -> jusText-style
+One ``mapInArrow`` kernel per page: html bytes -> jusText-style
 main-content text. All sub-steps (charset sniff, DOM segmentation,
 feature computation, context-free classification, context-sensitive
 smoothing, text assembly) are intra-document, so the operator is
@@ -9,12 +9,12 @@ perfectly data-parallel: no shuffle, no state across rows.
 Scale notes (100 TB design):
 * input is pre-partitioned by url-hash (+ salt for skewed hosts) BEFORE
   this operator — see ``salted_repartition`` — because AQE cannot
-  rebalance a MapInPandas stage's input after the fact;
+  rebalance a python-map stage's input after the fact;
 * ``html`` stays ``BinaryType`` end-to-end JVM-side; bytes are decoded
   only inside the kernel with the pinned deterministic sniff, so no
   JVM re-encoding can break byte parity (BASELINE.json:14);
-* columns are pruned explicitly before the kernel (mapInPandas
-  consumes whole rows — Catalyst cannot prune through it);
+* columns are pruned explicitly before the kernel (the python-map
+  stage consumes whole rows — Catalyst cannot prune through it);
 * per-partition lineage counters ride along as cheap columns
   (pid/bytes_in/t_unix) and are aggregated into the ``run_metrics``
   table by ``plans.lineage`` — no Python accumulators (per-row, slow).
@@ -26,6 +26,7 @@ import time
 from collections.abc import Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,48 +62,69 @@ def salted_repartition(pages: DataFrame, num_partitions: int, salt: int = 8) -> 
 
 
 def _extraction_kernel(pages: DataFrame, extract_fn) -> DataFrame:
-    """Shared kernel plumbing for every extractor: pruned input, Arrow
-    batches, per-partition lineage ride-alongs (pid/bytes_in/t_unix),
-    EXTRACT_SCHEMA output. ``extract_fn(raw, lang) -> ExtractionResult``
-    is the only per-extractor piece — jusText and textdensity must stay
-    schema- and lineage-identical because extractor_ranking unions
-    their scored outputs."""
+    """Shared kernel plumbing for every extractor: pruned input, raw
+    Arrow batches, per-partition lineage ride-alongs (pid/bytes_in/
+    t_unix), EXTRACT_SCHEMA output. ``extract_fn(raw, lang) ->
+    ExtractionResult`` is the only per-extractor piece — jusText and
+    textdensity must stay schema- and lineage-identical because
+    extractor_ranking unions their scored outputs.
+
+    ``mapInArrow`` rather than ``mapInPandas``: the kernel consumes
+    Python ``bytes`` per row either way (``to_pylist`` on the binary
+    column is the same materialization ``to_pandas`` does), but the
+    pandas leg adds a DataFrame build + block consolidation on BOTH
+    sides of every batch — measured 5.3 ms vs 1.6 ms per 525-row batch
+    (~7 us/doc, ~4% of the 177 us/doc jusText kernel at 8 busy cores,
+    more at 32 where the copies contend for memory bandwidth — the
+    non-scaling channel term the Amdahl fit in BENCH/BASELINE.md
+    isolates). The url/warc_ts/lang columns pass through as the
+    original Arrow arrays, zero-copy."""
     pruned = pages.select("url", "warc_ts", "html", "lang")
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        for pdf in batches:
-            out = {
-                "url": pdf["url"],
-                "warc_ts": pdf["warc_ts"],
-                "lang": pdf["lang"],
-                "text": [],
-                "n_paragraphs": [],
-                "n_good": [],
-                "status": [],
-                "err": [],
-            }
-            bytes_in = []
-            for raw, lang in zip(pdf["html"], pdf["lang"], strict=True):
+        for batch in batches:
+            names = batch.schema.names
+            langs_arr = batch.column(names.index("lang"))
+            raws = batch.column(names.index("html")).to_pylist()
+            langs = langs_arr.to_pylist()
+            text: list[str] = []
+            npar: list[int] = []
+            ngood: list[int] = []
+            status: list[str] = []
+            err: list[str | None] = []
+            bytes_in: list[int] = []
+            for raw, lang in zip(raws, langs, strict=True):
                 res = extract_fn(raw, lang)
-                out["text"].append(res.text)
-                out["n_paragraphs"].append(res.n_paragraphs)
-                out["n_good"].append(res.n_good)
-                out["status"].append(res.status)
-                out["err"].append(res.err)
+                text.append(res.text)
+                npar.append(res.n_paragraphs)
+                ngood.append(res.n_good)
+                status.append(res.status)
+                err.append(res.err)
                 bytes_in.append(len(raw))
             now = time.time()
-            yield pd.DataFrame(
-                {
-                    **out,
-                    "pid": pd.Series([pid] * len(pdf), dtype="int32"),
-                    "bytes_in": pd.Series(bytes_in, dtype="int64"),
-                    "t_unix": pd.Series([now] * len(pdf), dtype="float64"),
-                }
+            k = batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(names.index("url")),
+                    batch.column(names.index("warc_ts")),
+                    langs_arr,
+                    pa.array(text, pa.string()),
+                    pa.array(npar, pa.int32()),
+                    pa.array(ngood, pa.int32()),
+                    pa.array(status, pa.string()),
+                    pa.array(err, pa.string()),
+                    pa.array([pid] * k, pa.int32()),
+                    pa.array(bytes_in, pa.int64()),
+                    pa.array([now] * k, pa.float64()),
+                ],
+                names=["url", "warc_ts", "lang", "text", "n_paragraphs",
+                       "n_good", "status", "err", "pid", "bytes_in",
+                       "t_unix"],
             )
 
-    return pruned.mapInPandas(kernel, EXTRACT_SCHEMA)
+    return pruned.mapInArrow(kernel, EXTRACT_SCHEMA)
 
 
 def extract_pages(

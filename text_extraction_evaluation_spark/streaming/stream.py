@@ -32,7 +32,7 @@ def read_pages_stream(
 
 def extract_stream(pages_stream: DataFrame) -> DataFrame:
     """The batch kernel applied to a stream — identical code path
-    (mapInPandas is stream-capable for stateless kernels)."""
+    (mapInArrow is stream-capable for stateless kernels)."""
     return extract_pages(pages_stream)
 
 
