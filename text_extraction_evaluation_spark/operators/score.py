@@ -5,8 +5,11 @@ the page corpus (an annotated eval set), so it is broadcast: zero
 shuffle of the extracted side.
 
 M1 (LCS) / M2 (bag-of-words): per-document token alignment inside one
-``mapInPandas`` Arrow kernel, emitting both metric families side by
-side plus raw token counters so dataset-level micro aggregates can be
+``mapInArrow`` kernel (same channel-cost rationale as the extraction
+kernel in operators/extract.py — the kernel reads plain Python strings
+per row, so the pandas leg's DataFrame build on both sides of every
+batch is pure overhead), emitting both metric families side by side
+plus raw token counters so dataset-level micro aggregates can be
 recomputed relationally.
 """
 
@@ -14,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,30 +52,42 @@ def score_extracted(
         F.broadcast(gold.select("url", "gold_text", "dataset")), "url", "inner"
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for url, text, gtext, ds in zip(
-                pdf["url"], pdf["text"], pdf["gold_text"], pdf["dataset"], strict=True
-            ):
-                s = score_texts(text or "", gtext or "")
-                rows.append(
-                    (url, extractor, ds,
-                     s.precision, s.recall, s.f1,
-                     s.precision_bow, s.recall_bow, s.f1_bow,
-                     s.matched, s.matched_bow, s.retrieved, s.relevant,
-                     s.status)
-                )
-            out = pd.DataFrame(
-                rows,
-                columns=["url", "extractor", "dataset",
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            urls = batch.column(names.index("url"))
+            texts = batch.column(names.index("text")).to_pylist()
+            gtexts = batch.column(names.index("gold_text")).to_pylist()
+            ds_arr = batch.column(names.index("dataset"))
+            scored = [
+                score_texts(t or "", g or "")
+                for t, g in zip(texts, gtexts, strict=True)
+            ]
+            k = batch.num_rows
+            arrays = [
+                urls,
+                pa.array([extractor] * k, pa.string()),
+                ds_arr,
+                pa.array([s.precision for s in scored], pa.float64()),
+                pa.array([s.recall for s in scored], pa.float64()),
+                pa.array([s.f1 for s in scored], pa.float64()),
+                pa.array([s.precision_bow for s in scored], pa.float64()),
+                pa.array([s.recall_bow for s in scored], pa.float64()),
+                pa.array([s.f1_bow for s in scored], pa.float64()),
+                pa.array([s.matched for s in scored], pa.int64()),
+                pa.array([s.matched_bow for s in scored], pa.int64()),
+                pa.array([s.retrieved for s in scored], pa.int64()),
+                pa.array([s.relevant for s in scored], pa.int64()),
+                pa.array([s.status for s in scored], pa.string()),
+            ]
+            out_names = ["url", "extractor", "dataset",
                          "precision", "recall", "f1",
                          "precision_bow", "recall_bow", "f1_bow",
                          "matched", "matched_bow", "retrieved", "relevant",
-                         "status"],
-            )
+                         "status"]
             for c in keep_cols:
-                out[c] = pdf[c].reset_index(drop=True)
-            yield out
+                arrays.append(batch.column(names.index(c)))
+                out_names.append(c)
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
-    return joined.mapInPandas(kernel, schema)
+    return joined.mapInArrow(kernel, schema)
