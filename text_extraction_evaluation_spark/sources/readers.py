@@ -173,10 +173,12 @@ def pages_df(
     docs = _docs(spark, sf_dir, replicate, n_partitions)
 
     def gen(batches):
-        for pdf in batches:
-            yield synth_pages_pdf(pdf)
+        from .synth import synth_pages_batch
 
-    return docs.mapInPandas(gen, PAGES_SCHEMA)
+        for batch in batches:
+            yield synth_pages_batch(batch)
+
+    return docs.mapInArrow(gen, PAGES_SCHEMA)
 
 
 def gold_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:

@@ -8,7 +8,7 @@ rescue / no-rescue, copyright-in-content, select blocks, neargood
 smoothing, ``<br><br>`` splits, nested divs, malformed markup, latin-1
 bytes, table markup, forms, hot-host). Generation is pure-integer
 deterministic (splitmix64 on doc_id) — NO ``random`` module, NO wall
-clock — so the Spark path (mapInPandas over documents) and the oracle
+clock — so the Spark path (mapInArrow over documents) and the oracle
 path (plain pandas loop) produce bit-identical pages.
 
 Output schema matches BASELINE.json:15 input_hint:
@@ -154,43 +154,87 @@ def dataset_for(source: str) -> str:
     return "cleaneval" if n < 10 else "googlenews"
 
 
-def synth_pages_pdf(docs: pd.DataFrame) -> pd.DataFrame:
-    """documents (doc_id, text, lang, source) -> pages rows.
+_BASE_TS_US = BASE_TS.value // 1_000  # epoch microseconds
+
+
+def _synth_pages_lists(doc_ids, texts_in, langs_in, sources):
+    """Shared synthesis core: plain Python lists out (``warc_ts`` as
+    epoch microseconds). Both the pandas wrapper (oracle path) and the
+    Arrow wrapper (Spark path) call this, so the two are bit-identical
+    by construction.
 
     A deterministic 5% of doc_ids (doc_id % 20 == 7) emit a second,
     later crawl of the same url with a different template variant —
     exercises latest-crawl dedup and resume idempotency.
     """
     urls: list[str] = []
-    tss: list[pd.Timestamp] = []
+    ts_us: list[int] = []
     htmls: list[bytes] = []
     texts: list[str] = []
     langs: list[str] = []
     for doc_id, text, lang, source in zip(
-        docs["doc_id"], docs["text"], docs["lang"], docs["source"], strict=True
+        doc_ids, texts_in, langs_in, sources, strict=True
     ):
         doc_id = int(doc_id)
         url = url_for(doc_id, source)
         variant = doc_id % 16
         urls.append(url)
-        tss.append(BASE_TS + pd.Timedelta(seconds=doc_id))
+        ts_us.append(_BASE_TS_US + doc_id * 1_000_000)
         htmls.append(_html_for(doc_id, text, variant))
         texts.append(text)
         langs.append(lang)
         if doc_id % SECOND_CRAWL_MOD == SECOND_CRAWL_REM:
             urls.append(url)
-            tss.append(BASE_TS + pd.Timedelta(seconds=doc_id + 86400))
+            ts_us.append(_BASE_TS_US + (doc_id + 86400) * 1_000_000)
             htmls.append(_html_for(doc_id, text, (variant + 2) % 16))
             texts.append(text)
             langs.append(lang)
+    return urls, ts_us, htmls, texts, langs
+
+
+def synth_pages_pdf(docs: pd.DataFrame) -> pd.DataFrame:
+    """documents (doc_id, text, lang, source) -> pages rows (pandas —
+    the oracle/ballast path; see ``_synth_pages_lists``)."""
+    urls, ts_us, htmls, texts, langs = _synth_pages_lists(
+        docs["doc_id"], docs["text"], docs["lang"], docs["source"]
+    )
     return pd.DataFrame(
         {
             "url": pd.Series(urls, dtype="string[python]").astype(object),
-            "warc_ts": pd.Series(tss, dtype="datetime64[us]"),
+            "warc_ts": pd.Series(
+                pd.to_datetime(ts_us, unit="us"), dtype="datetime64[us]"
+            ),
             "html": pd.Series(htmls, dtype=object),
             "text": pd.Series(texts, dtype=object),
             "lang": pd.Series(langs, dtype=object),
         }
+    )
+
+
+def synth_pages_batch(batch):
+    """documents Arrow batch -> pages Arrow batch (the Spark kernel
+    path): same core loop as ``synth_pages_pdf`` but the output is
+    built as Arrow arrays directly — no pandas DataFrame construction
+    or block consolidation per batch (the channel-cost rationale in
+    operators/extract.py)."""
+    import pyarrow as pa
+
+    names = batch.schema.names
+    urls, ts_us, htmls, texts, langs = _synth_pages_lists(
+        batch.column(names.index("doc_id")).to_pylist(),
+        batch.column(names.index("text")).to_pylist(),
+        batch.column(names.index("lang")).to_pylist(),
+        batch.column(names.index("source")).to_pylist(),
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(ts_us, pa.timestamp("us")),
+            pa.array(htmls, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        names=["url", "warc_ts", "html", "text", "lang"],
     )
 
 
