@@ -65,10 +65,10 @@ def test_extract_kernel_input_is_pruned(spark):
     # before the kernel is what keeps gold text out of the Arrow channel
     plan = optimized_of(extract_pages(pages))
     lines = plan.splitlines()
-    kernel_idx = next(
-        i for i, ln in enumerate(lines)
-        if "MapInArrow" in ln or "MapInPandas" in ln
-    )
+    # the extraction kernel is pinned to the raw-Arrow channel — a
+    # silent fallback to mapInPandas would reintroduce the per-batch
+    # pandas build the round-4 conversion removed
+    kernel_idx = next(i for i, ln in enumerate(lines) if "MapInArrow" in ln)
     child_project = next(
         ln for ln in lines[kernel_idx + 1:] if "Project [" in ln or "Project[" in ln
     )
