@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -65,23 +65,25 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(text_col).alias("text"),
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
             det, score = [], []
-            for t in pdf["text"]:
+            for t in batch.column(names.index("text")).to_pylist():
                 d, s = detect_lang(t or "")
                 det.append(d)
                 score.append(s)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "lang": pdf["lang"],
-                    "detected_lang": det,
-                    "lang_score": pd.Series(score, dtype="float64"),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(names.index("doc_id")).cast(pa.int64()),
+                    batch.column(names.index("lang")),
+                    pa.array(det, pa.string()),
+                    pa.array(score, pa.float64()),
+                ],
+                names=["doc_id", "lang", "detected_lang", "lang_score"],
             )
 
-    return pruned.mapInPandas(kernel, LANG_ID_SCHEMA)
+    return pruned.mapInArrow(kernel, LANG_ID_SCHEMA)
 
 
 NFC_STATS_SCHEMA = "bucket int, changed long, delta long"
@@ -91,7 +93,7 @@ def nfc_normalize_stats(docs: DataFrame, text_col: str = "t") -> DataFrame:
     """Arrow kernel: per-document Unicode NFC normalization effect —
     did canonical composition change the string, and by how many code
     points. Spark has no built-in Unicode normalizer, so this is the
-    canonical "text normalization pass" shape: a pruned mapInPandas
+    canonical "text normalization pass" shape: a pruned mapInArrow
     batch over (bucket, text) that emits fixed-width stats, never
     re-emitting the text itself (the normalized bytes stay inside the
     Arrow batch; a production scrub would write them to the sink
@@ -100,21 +102,27 @@ def nfc_normalize_stats(docs: DataFrame, text_col: str = "t") -> DataFrame:
     which is what makes the census oracle-checkable."""
     pruned = docs.select("bucket", F.col(text_col).alias("t"))
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import unicodedata
 
-        for pdf in batches:
-            norm = pdf["t"].map(lambda s: unicodedata.normalize("NFC", s or ""))
-            src = pdf["t"].fillna("")
-            yield pd.DataFrame(
-                {
-                    "bucket": pdf["bucket"].astype("int32"),
-                    "changed": (norm != src).astype("int64"),
-                    "delta": (norm.str.len() - src.str.len()).astype("int64"),
-                }
+        for batch in batches:
+            names = batch.schema.names
+            changed, delta = [], []
+            for s in batch.column(names.index("t")).to_pylist():
+                src = s or ""
+                norm = unicodedata.normalize("NFC", src)
+                changed.append(int(norm != src))
+                delta.append(len(norm) - len(src))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(names.index("bucket")).cast(pa.int32()),
+                    pa.array(changed, pa.int64()),
+                    pa.array(delta, pa.int64()),
+                ],
+                names=["bucket", "changed", "delta"],
             )
 
-    return pruned.mapInPandas(kernel, NFC_STATS_SCHEMA)
+    return pruned.mapInArrow(kernel, NFC_STATS_SCHEMA)
 
 
 SNIFF_SCHEMA = "url string, warc_ts timestamp, codec string, n_bytes long"
@@ -125,31 +133,33 @@ def sniff_codec_stats(pages: DataFrame) -> DataFrame:
     sniff_decode — BOM, meta charset, utf-8 attempt, latin-1
     fallback), emitting the page identity + codec used + byte size,
     never the decoded text. This is the standalone census shape of the
-    sniff that extract_pages runs inline; a pruned mapInPandas over
+    sniff that extract_pages runs inline; a pruned mapInArrow over
     (url, warc_ts, html) so the html bytes cross Arrow once and are
     dropped inside the kernel."""
     from ..algo.encoding import sniff_decode
 
     pruned = pages.select("url", "warc_ts", "html")
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
             codecs_, sizes = [], []
-            for raw in pdf["html"]:
-                b = bytes(raw) if raw is not None else b""
+            for raw in batch.column(names.index("html")).to_pylist():
+                b = raw if raw is not None else b""
                 _, codec = sniff_decode(b)
                 codecs_.append(codec)
                 sizes.append(len(b))
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "warc_ts": pdf["warc_ts"],
-                    "codec": codecs_,
-                    "n_bytes": pd.Series(sizes, dtype="int64"),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(names.index("url")),
+                    batch.column(names.index("warc_ts")),
+                    pa.array(codecs_, pa.string()),
+                    pa.array(sizes, pa.int64()),
+                ],
+                names=["url", "warc_ts", "codec", "n_bytes"],
             )
 
-    return pruned.mapInPandas(kernel, SNIFF_SCHEMA)
+    return pruned.mapInArrow(kernel, SNIFF_SCHEMA)
 
 
 def rolling_fingerprints(
