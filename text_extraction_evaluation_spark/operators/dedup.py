@@ -2,7 +2,7 @@
 
 Exact dedup = hash groupBy (pure JVM). Near-dup = MinHash + LSH:
 signatures are computed in an Arrow-vectorized numpy kernel
-(``mapInPandas``) because a 16-seed signature as Catalyst higher-order
+(``mapInArrow``) because a 16-seed signature as Catalyst higher-order
 functions costs ~8 us per interpreted lambda eval — measured ~20x
 slower than the kernel — while the shuffle-side (band buckets, pair
 generation, jaccard verification) stays JVM-side. The kernel computes
@@ -25,7 +25,7 @@ import hashlib
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,12 +60,15 @@ def minhash_band_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     """(id, text) -> one row per (id, band, band_key). Arrow kernel."""
     pruned = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            doc_ids = batch.column(names.index("doc_id")).to_pylist()
+            texts = batch.column(names.index("text")).to_pylist()
             ids: list[int] = []
             bands: list[int] = []
             keys: list[str] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"], strict=True):
+            for doc_id, text in zip(doc_ids, texts, strict=True):
                 sh = _shingle_set(text or "")
                 if not sh:
                     continue
@@ -79,15 +82,16 @@ def minhash_band_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
                     ids.append(int(doc_id))
                     bands.append(b)
                     keys.append(key)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "band": pd.Series(bands, dtype="int32"),
-                    "band_key": pd.Series(keys, dtype=object),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(bands, pa.int32()),
+                    pa.array(keys, pa.string()),
+                ],
+                names=["doc_id", "band", "band_key"],
             )
 
-    return pruned.mapInPandas(kernel, BAND_SCHEMA)
+    return pruned.mapInArrow(kernel, BAND_SCHEMA)
 
 
 def candidate_pairs(bands: DataFrame, max_bucket_size: int = 1000) -> DataFrame:
