@@ -25,7 +25,6 @@ from __future__ import annotations
 import time
 from collections.abc import Iterator
 
-import pandas as pd
 import pyarrow as pa
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
@@ -152,25 +151,42 @@ def extract_spans(
     and final classes + features (FIXTURES.md §4 ``paragraphs``)."""
     pruned = pages.select("url", "html", "lang")
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: list[tuple] = []
-            for url, raw, lang in zip(pdf["url"], pdf["html"], pdf["lang"], strict=True):
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            cols: tuple[list, ...] = ([], [], [], [], [], [], [], [], [])
+            for url, raw, lang in zip(
+                batch.column(names.index("url")).to_pylist(),
+                batch.column(names.index("html")).to_pylist(),
+                batch.column(names.index("lang")).to_pylist(),
+                strict=True,
+            ):
                 res = extract_bytes(raw, lang, params, stoplists)
                 for cp in res.paragraphs:
-                    rows.append(
-                        (url, cp.idx, cp.text, cp.class_cf, cp.class_final,
-                         cp.link_density, cp.stopword_density, cp.word_count,
-                         cp.heading)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["url", "idx", "text", "class_cf", "class_final",
-                         "link_density", "stopword_density", "word_count",
-                         "heading"],
+                    for lst, v in zip(cols, (
+                        url, cp.idx, cp.text, cp.class_cf, cp.class_final,
+                        cp.link_density, cp.stopword_density, cp.word_count,
+                        cp.heading,
+                    ), strict=True):
+                        lst.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.int32()),
+                    pa.array(cols[2], pa.string()),
+                    pa.array(cols[3], pa.string()),
+                    pa.array(cols[4], pa.string()),
+                    pa.array(cols[5], pa.float64()),
+                    pa.array(cols[6], pa.float64()),
+                    pa.array(cols[7], pa.int32()),
+                    pa.array(cols[8], pa.bool_()),
+                ],
+                names=["url", "idx", "text", "class_cf", "class_final",
+                       "link_density", "stopword_density", "word_count",
+                       "heading"],
             )
 
-    return pruned.mapInPandas(kernel, SPANS_SCHEMA)
+    return pruned.mapInArrow(kernel, SPANS_SCHEMA)
 
 
 def extract_pages_density(pages: DataFrame) -> DataFrame:
