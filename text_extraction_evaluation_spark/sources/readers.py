@@ -2,7 +2,7 @@
 
 All relational work is plain DataFrame API so Catalyst handles column
 pruning / predicate pushdown; the only Python surface is the
-mapInPandas synthesis kernel (Arrow-batched, no per-row Python UDFs —
+mapInArrow synthesis kernel (Arrow-batched, no per-row Python UDFs —
 BASELINE.json:15).
 """
 
@@ -14,7 +14,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .synth import dataset_for, synth_gold_pdf, synth_pages_pdf
+from .synth import dataset_for
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -188,10 +188,12 @@ def gold_df(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     docs = _docs(spark, sf_dir, replicate, n_parts).select("doc_id", "text", "source")
 
     def gen(batches):
-        for pdf in batches:
-            yield synth_gold_pdf(pdf)
+        from .synth import synth_gold_batch
 
-    return docs.mapInPandas(gen, GOLD_SCHEMA)
+        for batch in batches:
+            yield synth_gold_batch(batch)
+
+    return docs.mapInArrow(gen, GOLD_SCHEMA)
 
 
 def dataset_col(source_col):

@@ -247,3 +247,24 @@ def synth_gold_pdf(docs: pd.DataFrame) -> pd.DataFrame:
             "dataset": [dataset_for(s) for s in docs["source"]],
         }
     )
+
+
+def synth_gold_batch(batch):
+    """documents Arrow batch -> gold Arrow batch (Spark kernel path;
+    same column rules as ``synth_gold_pdf``)."""
+    import pyarrow as pa
+
+    names = batch.schema.names
+    doc_ids = batch.column(names.index("doc_id")).to_pylist()
+    sources = batch.column(names.index("source")).to_pylist()
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(
+                [url_for(int(d), s) for d, s in zip(doc_ids, sources, strict=True)],
+                pa.string(),
+            ),
+            batch.column(names.index("text")),
+            pa.array([dataset_for(s) for s in sources], pa.string()),
+        ],
+        names=["url", "gold_text", "dataset"],
+    )
