@@ -82,18 +82,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from text_extraction_evaluation_spark.plans.queries import SQL_CHECKED
+    from text_extraction_evaluation_spark.plans.queries import (
+        SQL_CHECKED,
+        driver_order,
+    )
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: fn for name, (fn, _sql) in SQL_CHECKED.items()
-    }
     # Non-SQL-expressible pipeline operators (rows-only driver check;
-    # byte-exact parity is enforced by tests/test_parity.py instead):
-    out["extract_report"] = _pipeline_report
-    out["extracted_texts"] = _extracted_texts
-    out["extract_spans"] = _extract_spans
-    out["doc_scores"] = _doc_scores
-    return out
+    # byte-exact parity is enforced by tests/test_parity.py instead).
+    # driver_order() interleaves them into the driver's 50-entry sample
+    # window whenever their official rows-only record is stale, so the
+    # flagship's own registry entries can never sit permanently outside
+    # the window again (round-4 VERDICT item 2).
+    rows_only: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "extract_report": _pipeline_report,
+        "extracted_texts": _extracted_texts,
+        "extract_spans": _extract_spans,
+        "doc_scores": _doc_scores,
+    }
+    order = driver_order(list(SQL_CHECKED))
+    return {
+        name: rows_only[name] if name in rows_only else SQL_CHECKED[name][0]
+        for name in order
+    }
 
 
 def oracle_sql() -> dict[str, str]:

