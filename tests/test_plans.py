@@ -399,3 +399,26 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path_factory):
     assert n == 2_000
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan, plan[:2000]
+
+
+def test_crawl_budget_global_rank_is_distributed(spark):
+    """The largest-remainder pick needs a GLOBAL row_number with a
+    data-dependent k, which a bare Window.orderBy would execute as a
+    single-partition sort at host cardinality. The plan must instead be
+    the distributed form: a range exchange on the sort key, the
+    host-cardinality rank partitioned by spark_partition_id, and the
+    only empty-partition window left running over the per-partition
+    offset table (one row per partition, never per host)."""
+    from text_extraction_evaluation_spark.plans.queries import (
+        crawl_budget_allocation,
+    )
+
+    plan = plan_of(crawl_budget_allocation(spark, SF0001))
+    assert "rangepartitioning(rem" in plan
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows, plan
+    for ln in windows:
+        if "rem" in ln:  # the host-cardinality rank
+            assert "pid" in ln.split("windowspecdefinition", 1)[1].split(",")[0], ln
+    # the offsets join back to host rows must broadcast
+    assert "BroadcastHashJoin" in plan

@@ -807,12 +807,19 @@ def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties by host) so the unrolled oracle reproduces the exact quotas.
 
     Scale shape: the allocation runs over the RANK table (one row per
-    host — orders of magnitude smaller than pages/edges). The
-    largest-remainder pick is a global top-k over hosts; at 1e8 hosts
-    that single-partition row_number sort becomes a rangepartitioned
-    TopK (WindowGroupLimit bounds it map-side the same way
-    host_domain_cap's census pins); quotas themselves broadcast back
-    to the fetch planner."""
+    host — orders of magnitude smaller than pages/edges), but k (the
+    leftover slots) is data-dependent, so the largest-remainder pick is
+    a GLOBAL rank that a plain ``Window.orderBy`` would execute as a
+    single-partition sort at host cardinality. Instead the global
+    row_number is computed distributed, the standard way: range-
+    repartition on the sort key (rem DESC, host ASC) so partitions are
+    globally ordered, rank WITHIN each partition (bounded ~n/parts
+    rows), and add per-partition row-count offsets — the offset table
+    is one row per PARTITION (cluster-sized, not data-sized), so its
+    cumulative window is O(parts). No stage touches more than
+    n/parts host rows; quotas broadcast back to the fetch planner.
+    The result is identical to the single-window form for any range
+    boundary placement because (rem, host) is a unique total order."""
     ranks = host_pagerank(spark, sf_dir)
     tot = ranks.agg(F.sum("rank_e12").alias("r_tot"))
     a = ranks.crossJoin(F.broadcast(tot)).select(
@@ -824,17 +831,43 @@ def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_tbl = a.agg(
         (F.lit(CRAWL_BUDGET).cast("bigint") - F.sum("base_quota")).alias("k")
     )
-    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    nparts = spark.sparkContext.defaultParallelism
+    parts = a.repartitionByRange(
+        nparts, F.desc("rem"), F.asc("host")
+    ).withColumn("pid", F.spark_partition_id())
+    # one row per range partition; the cumulative window runs over at
+    # most `nparts` rows, never over host cardinality
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    w_local = Window.partitionBy("pid").orderBy(F.desc("rem"), F.asc("host"))
     return (
-        a.crossJoin(F.broadcast(k_tbl))
-        .withColumn("rn", F.row_number().over(w))
+        parts.withColumn("rn_local", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(k_tbl))
         .select(
             "host",
             "rank_e12",
             "base_quota",
-            (F.col("base_quota") + (F.col("rn") <= F.col("k")).cast("bigint")).alias(
-                "quota"
-            ),
+            (
+                F.col("base_quota")
+                + (F.col("rn_local") + F.col("offset") <= F.col("k")).cast(
+                    "bigint"
+                )
+            ).alias("quota"),
         )
     )
 
