@@ -229,7 +229,11 @@ def synth_pages_batch(batch):
     return pa.RecordBatch.from_arrays(
         [
             pa.array(urls, pa.string()),
-            pa.array(ts_us, pa.timestamp("us")),
+            # tz-aware to match Spark's Arrow field for TimestampType
+            # exactly; a naive array only coincidentally matches when
+            # spark.sql.session.timeZone is UTC (every session here pins
+            # it, but the kernel must not depend on that).
+            pa.array(ts_us, pa.timestamp("us", tz="UTC")),
             pa.array(htmls, pa.binary()),
             pa.array(texts, pa.string()),
             pa.array(langs, pa.string()),
