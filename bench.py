@@ -326,6 +326,24 @@ def main() -> None:
     extras["host_ops_after"] = _host_capacity()
 
     total = round(sum(timings.values()), 3)
+    # Epoch normalization (round-4 verdict item 5): the host's delivered
+    # capacity swings between rounds (co-tenant epochs, node
+    # migrations), so raw cross-round per-query deltas confound plan
+    # changes with epoch changes. Scale each timing by this run's
+    # capacity fraction (mean of the before/after probes over the
+    # all-time clean reference) to get the seconds the query would take
+    # at reference capacity — the number to compare across rounds.
+    epoch_frac = None
+    if extras.get("host_ops_peak_ref"):
+        probes = [
+            extras[k]
+            for k in ("host_ops_before", "host_ops_after")
+            if extras.get(k)
+        ]
+        if probes:
+            epoch_frac = (sum(probes) / len(probes)) / extras[
+                "host_ops_peak_ref"
+            ]
     full = {
         "metric": "headline_queries_total_seconds",
         "value": total,
@@ -336,6 +354,12 @@ def main() -> None:
         "replicate_flagship": replicate_flagship,
         **extras,
     }
+    if epoch_frac is not None:
+        full["epoch_capacity_frac"] = round(epoch_frac, 3)
+        full["value_epoch_normalized"] = round(total * epoch_frac, 3)
+        full["queries_epoch_normalized"] = {
+            k: round(v * epoch_frac, 3) for k, v in timings.items()
+        }
     # Full per-query payload goes to a file; the driver's stdout capture
     # keeps only the LAST 2000 characters, so the final printed line must
     # be compact (round 3's official BENCH record lost its headline to a
@@ -375,6 +399,12 @@ def main() -> None:
         "bte_docs_per_sec": extras.get("bte_docs_per_sec"),
         "host_ops_before": extras.get("host_ops_before"),
         "host_ops_after": extras.get("host_ops_after"),
+        "epoch_capacity_frac": (
+            round(epoch_frac, 3) if epoch_frac is not None else None
+        ),
+        "value_epoch_normalized": (
+            round(total * epoch_frac, 3) if epoch_frac is not None else None
+        ),
         "full_results": str(out_path) if out_path else None,
     }
     line = json.dumps(compact)
