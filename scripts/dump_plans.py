@@ -170,9 +170,12 @@ def main() -> None:
          "rank-limited argmax window over the label table — edges "
          "never re-shuffle, no driver actions"),
         ("crawl_budget_allocation", "largest-remainder quota split on "
-         "the rank table: one-row broadcast totals, global remainder "
-         "ranking over #hosts rows (WindowGroupLimit-bounded), never "
-         "the page corpus"),
+         "the rank table: one-row broadcast totals; the global "
+         "remainder rank is DISTRIBUTED — range exchange on (rem, "
+         "host), per-partition row_number, plus broadcast per-"
+         "partition offsets whose cumulative window is one row per "
+         "partition — never a single-task sort at host cardinality, "
+         "never the page corpus"),
         ("trigram_index_search", "posting-list LIKE acceleration: the "
          "probe-filtered explode bounds the shuffle at query-gram "
          "postings; candidates broadcast back for the contains() "
