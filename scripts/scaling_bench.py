@@ -479,13 +479,19 @@ def main() -> None:
     bench_dir.mkdir(exist_ok=True)
     if unstable:
         result["epoch_unstable"] = True
-        with open(bench_dir / f"scaling_unstable_epoch{suffix}.json", "w") as f:
+        # dated like the rc=5/rc=6 side files so repeated unstable
+        # detections never overwrite earlier disclosure artifacts
+        upath = bench_dir / (
+            f"scaling_unstable_{time.strftime('%m%d_%H%M')}{suffix}.json"
+        )
+        with open(upath, "w") as f:
             json.dump(result, f, indent=2)
         print(json.dumps(result))
         print(
             "EPOCH UNSTABLE: calibrations swung "
-            f"{min(calibs):.2e}-{max(calibs):.2e}; evidence files left "
-            "untouched (result in BENCH/scaling_unstable_epoch.json)",
+            f"{min(calibs):.2e}-{max(calibs):.2e} or pair ratios "
+            f"{[round(r, 2) for r in ratios]} outside the physical gate; "
+            f"evidence files left untouched (result in BENCH/{upath.name})",
             file=sys.stderr,
         )
         raise SystemExit(3)
