@@ -121,3 +121,52 @@ def test_entry_queries_follow_driver_order():
 def test_filler_greens_are_registered():
     for n in FILLER_GREENS:
         assert n in SQL_CHECKED, n
+
+
+def test_order_rules_on_synthetic_records(tmp_path, monkeypatch):
+    """Pin the ordering rules themselves against a synthetic record set
+    (independent of the real repo history): reds first, then
+    never-sampled, then stale rows-only, then filler/greens; a
+    rows-only entry with a fresh row in the LATEST record counts green
+    and drops out of the head."""
+    import json as _json
+
+    from text_extraction_evaluation_spark.plans import queries as qmod
+
+    r1 = tmp_path / "CORRECTNESS_r01.json"
+    r2 = tmp_path / "CORRECTNESS_r02.json"
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 7, "oracle_rows": None,
+                 "err": "no_oracle"}
+    r1.write_text(_json.dumps({"a": green, "b": green, "p_stale": rows_only}))
+    r2.write_text(_json.dumps({"a": green, "c": red, "p_fresh": rows_only}))
+    monkeypatch.setattr(
+        qmod, "_find_correctness_records", lambda: [r1, r2]
+    )
+    order = qmod.driver_order(
+        ["a", "b", "c", "d"], rows_only=("p_stale", "p_fresh")
+    )
+    pos = {n: i for i, n in enumerate(order)}
+    assert pos["c"] == 0                       # latest-red re-check first
+    assert pos["d"] == 1                       # never-sampled backlog
+    assert pos["p_stale"] == 2                 # rows-only, not in latest
+    assert pos["p_fresh"] > pos["p_stale"]     # fresh rows-only is green
+    # greens refresh stalest-first: b's latest row is r1, a's is r2
+    assert pos["b"] < pos["a"]
+
+
+def test_fallback_used_only_without_records(monkeypatch):
+    """With no CORRECTNESS records findable (wheel install outside the
+    repo), the fallback literal governs; entries absent from the
+    registry are skipped, unknown registry entries appended."""
+    from text_extraction_evaluation_spark.plans import queries as qmod
+
+    monkeypatch.setattr(qmod, "_find_correctness_records", lambda: [])
+    order = qmod.driver_order(["q1_pricing_summary", "zz_new_entry"])
+    assert order[:4] == list(qmod.ROWS_ONLY_PIPELINE)
+    assert "zz_new_entry" in order
+    assert len(order) == len(set(order))
