@@ -397,7 +397,12 @@ def main() -> None:
     # 4.7e8 -> 1.95e8 within one run). If the calibrations are not
     # flat, write the result to a side file and keep the last
     # stable-epoch evidence untouched.
-    unstable = min(calibs) < 0.75 * max(calibs)
+    unstable_reasons = []
+    if min(calibs) < 0.75 * max(calibs):
+        unstable_reasons.append(
+            f"calibration swing {min(calibs):.2e}-{max(calibs):.2e}"
+        )
+    unstable = bool(unstable_reasons)
     # Physical-sanity gate on the pair ratios themselves. The 3-second
     # calibration probes bracket each pair but a fast co-tenant burst
     # can land entirely INSIDE a leg and recover before the next probe
@@ -414,6 +419,10 @@ def main() -> None:
         or max(ratios) > 1.8 * min(ratios)
     ):
         unstable = True
+        unstable_reasons.append(
+            f"pair ratios {[round(r, 2) for r in ratios]} outside the "
+            "physical gate (each must be in (1.0, 4.4], spread <= 1.8x)"
+        )
     # Separately from flatness: how much of the host's CLEAN capacity
     # this epoch delivered. Reference = best 32-process burn ever
     # observed on this host (round-2 clean epoch). A stable-but-low
@@ -479,6 +488,7 @@ def main() -> None:
     bench_dir.mkdir(exist_ok=True)
     if unstable:
         result["epoch_unstable"] = True
+        result["unstable_reasons"] = unstable_reasons
         # dated like the rc=5/rc=6 side files so repeated unstable
         # detections never overwrite earlier disclosure artifacts
         upath = bench_dir / (
@@ -488,10 +498,8 @@ def main() -> None:
             json.dump(result, f, indent=2)
         print(json.dumps(result))
         print(
-            "EPOCH UNSTABLE: calibrations swung "
-            f"{min(calibs):.2e}-{max(calibs):.2e} or pair ratios "
-            f"{[round(r, 2) for r in ratios]} outside the physical gate; "
-            f"evidence files left untouched (result in BENCH/{upath.name})",
+            f"EPOCH UNSTABLE ({'; '.join(unstable_reasons)}); evidence "
+            f"files left untouched (result in BENCH/{upath.name})",
             file=sys.stderr,
         )
         raise SystemExit(3)
