@@ -256,6 +256,35 @@ def foreign_heavy_procs() -> list[str]:
     return hits
 
 
+class ContentionWatch:
+    """Continuous foreign-tooling sampler for one measurement leg:
+    boundary-only sampling would miss a tool that starts and finishes
+    entirely inside a ~2-minute leg, so a daemon thread re-samples
+    every ``interval`` seconds while the leg runs."""
+
+    def __init__(self, interval: float = 10.0):
+        import threading
+
+        self.hits: list[str] = []
+        self._stop = threading.Event()
+        self._interval = interval
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self._interval):
+            self.hits.extend(foreign_heavy_procs())
+
+    def __enter__(self) -> "ContentionWatch":
+        self.hits.extend(foreign_heavy_procs())
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        self.hits.extend(foreign_heavy_procs())
+
+
 def stability_reasons(calibs: list[float], ratios: list[float]) -> list[str]:
     """Pure rc=3 gate: why this run's epoch cannot be trusted, or []
     if it can. (1) Calibration flatness — a co-tenant collapse mid-run
@@ -439,19 +468,18 @@ def main() -> None:
         pair: dict[int, dict] = {}
         pair_contended = False
         for cores in order:
-            hits = foreign_heavy_procs()
             ballast = None
             if mode == "equalized" and cores == small:
                 ballast = start_ballast(small, big)
             try:
-                pair[cores] = run_extract(cores, replicate, sf_dir, mode)
+                with ContentionWatch() as watch:
+                    pair[cores] = run_extract(cores, replicate, sf_dir, mode)
             finally:
                 if ballast is not None:
                     stop_ballast(ballast)
-            hits += foreign_heavy_procs()
-            if hits:
+            if watch.hits:
                 pair_contended = True
-                contention_log.extend(hits)
+                contention_log.extend(watch.hits)
         runs[small].append(pair[small])
         runs[big].append(pair[big])
         ratios.append(pair[big]["docs_per_sec"] / pair[small]["docs_per_sec"])
