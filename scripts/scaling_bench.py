@@ -551,7 +551,10 @@ def main() -> None:
             not any(contended) and len(clean) == len(ratios)
         ),
     }
-    bench_dir = ROOT / "BENCH"
+    # SCALING_BENCH_OUT redirects ALL artifact writes (headline, side
+    # files, BASELINE md) — use for smoke-testing the harness itself so
+    # a tiny-replicate exercise run can never masquerade as evidence.
+    bench_dir = pathlib.Path(os.environ.get("SCALING_BENCH_OUT", ROOT / "BENCH"))
     bench_dir.mkdir(exist_ok=True)
     if unstable:
         result["epoch_unstable"] = True
