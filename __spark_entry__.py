@@ -83,14 +83,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from text_extraction_evaluation_spark.plans.queries import (
+        DRIVER_ORDER,
         SQL_CHECKED,
-        driver_order,
     )
 
     # Non-SQL-expressible pipeline operators (rows-only driver check;
     # byte-exact parity is enforced by tests/test_parity.py instead).
-    # driver_order() interleaves them into the driver's 50-entry sample
-    # window whenever their official rows-only record is stale, so the
+    # DRIVER_ORDER (computed once at import from the CORRECTNESS
+    # record) interleaves them into the driver's 50-entry sample window
+    # whenever their official rows-only record is stale, so the
     # flagship's own registry entries can never sit permanently outside
     # the window again (round-4 VERDICT item 2).
     rows_only: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -99,10 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": _extract_spans,
         "doc_scores": _doc_scores,
     }
-    order = driver_order(list(SQL_CHECKED))
     return {
         name: rows_only[name] if name in rows_only else SQL_CHECKED[name][0]
-        for name in order
+        for name in DRIVER_ORDER
     }
 
 

@@ -208,17 +208,15 @@ def main() -> None:
 
     # host noise denominator: capacity before any Spark work starts
     extras["host_ops_before"] = _host_capacity()
-    # reference numerator: the session-peak capacity recorded by the
-    # scaling bench (same probe code) — throughput readings taken in a
-    # degraded co-tenant epoch are comparable across rounds only after
-    # scaling by host_ops_*/host_ops_peak_ref
-    try:
-        with open(pathlib.Path(__file__).parent / "BENCH" / "scaling.json") as f:
-            extras["host_ops_peak_ref"] = max(
-                json.load(f)["host_calibration_ops"]
-            )
-    except (OSError, KeyError, ValueError):
-        pass
+    # Reference numerator for epoch normalization: the PINNED all-time
+    # clean-epoch capacity of the reference host (same constant as
+    # scripts/scaling_bench.py CLEAN_EPOCH_REF_OPS, same probe code).
+    # Deliberately NOT read from BENCH/scaling.json: that file's
+    # calibrations change whenever the scaling headline is replaced,
+    # which would silently change the normalization denominator between
+    # rounds — the exact confound the *_epoch_normalized fields exist
+    # to remove.
+    extras["host_ops_peak_ref"] = 5.35e8
 
     spark = get_spark(
         "bench",
@@ -335,10 +333,12 @@ def main() -> None:
     # at reference capacity — the number to compare across rounds.
     epoch_frac = None
     if extras.get("host_ops_peak_ref"):
+        # a failed probe returns the -1.0 sentinel — exclude it (it
+        # would halve or negate the normalized numbers)
         probes = [
             extras[k]
             for k in ("host_ops_before", "host_ops_after")
-            if extras.get(k)
+            if extras.get(k, 0) and extras[k] > 0
         ]
         if probes:
             epoch_frac = (sum(probes) / len(probes)) / extras[

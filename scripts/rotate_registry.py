@@ -37,7 +37,15 @@ def main() -> int:
     recs = _find_correctness_records()
     latest: dict[str, tuple[str, dict]] = {}
     for path in recs:
-        for k, v in json.load(open(path)).items():
+        # same tolerance as driver_order(): a malformed record is
+        # skipped there, so the audit must skip it too (and say so)
+        # rather than crash with a different view of the record set
+        try:
+            rec = json.load(open(path))
+        except (OSError, ValueError) as exc:
+            print(f"skipping unreadable {path}: {exc!r}", file=sys.stderr)
+            continue
+        for k, v in rec.items():
             if isinstance(v, dict):
                 latest[k] = (pathlib.Path(path).stem, v)
 

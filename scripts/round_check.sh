@@ -22,7 +22,8 @@ echo "== 3/4 full registry sweep (sf0.01) =="
 python scripts/sweep_oracle.py /root/testdata/sf0.01
 
 echo "== 4/4 window audit =="
-python scripts/rotate_registry.py >/dev/null  # full listing to stderr summary
-python scripts/rotate_registry.py 2>&1 | tail -1
+# keep only the stderr summary line (stdout listing to /dev/null; the
+# redirection order sends stderr through the pipe)
+python scripts/rotate_registry.py 2>&1 >/dev/null | tail -1
 
 echo "ROUND CHECK: all green"

@@ -655,13 +655,15 @@ def main() -> None:
         )
         raise SystemExit(6)
     if decision == "replace_ineligible":
+        # dated so two demotions with the same rounded raw value can
+        # never collide and silently drop a disclosure
         demoted = bench_dir / (
-            f"scaling_run_demoted_ineligible_raw"
+            f"scaling_run_demoted_ineligible_{time.strftime('%m%d_%H%M')}"
+            f"_raw"
             f"{int(round(prior.get('raw_scaling_efficiency', 0) * 1000)):03d}"
             f"{suffix}.json"
         )
-        if not demoted.exists():
-            demoted.write_text(json.dumps(prior, indent=2))
+        demoted.write_text(json.dumps(prior, indent=2))
         print(
             f"REPLACING INELIGIBLE HEADLINE ({why}; demoted to "
             f"{demoted.name}) with eligible raw {raw_eff:.3f}",

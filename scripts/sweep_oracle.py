@@ -34,11 +34,15 @@ def main() -> int:
     window = None
     if "--window" in argv:
         i = argv.index("--window")
+        if i + 1 >= len(argv):
+            print("usage: sweep_oracle.py [sf_dir] [--window N]", file=sys.stderr)
+            return 2
         window = int(argv[i + 1])
         del argv[i : i + 2]
     sf = argv[0] if argv else "/root/testdata/sf0.01"
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    names = list(qs)[:window] if window else sorted(oracles)
+    # `is not None`: --window 0 means an empty run, not the full sweep
+    names = list(qs)[:window] if window is not None else sorted(oracles)
     spark = get_spark("sweep")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()

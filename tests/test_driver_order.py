@@ -125,10 +125,10 @@ def test_filler_greens_are_registered():
 
 def test_order_rules_on_synthetic_records(tmp_path, monkeypatch):
     """Pin the ordering rules themselves against a synthetic record set
-    (independent of the real repo history): reds first, then
-    never-sampled, then stale rows-only, then filler/greens; a
-    rows-only entry with a fresh row in the LATEST record counts green
-    and drops out of the head."""
+    (independent of the real repo history): reds first, then stale
+    rows-only, then never-sampled, then filler/greens; a rows-only
+    entry with a fresh row in the LATEST record counts green and drops
+    out of the head."""
     import json as _json
 
     from text_extraction_evaluation_spark.plans import queries as qmod
@@ -152,9 +152,11 @@ def test_order_rules_on_synthetic_records(tmp_path, monkeypatch):
     )
     pos = {n: i for i, n in enumerate(order)}
     assert pos["c"] == 0                       # latest-red re-check first
-    assert pos["d"] == 1                       # never-sampled backlog
-    assert pos["p_stale"] == 2                 # rows-only, not in latest
-    assert pos["p_fresh"] > pos["p_stale"]     # fresh rows-only is green
+    assert pos["p_stale"] == 1                 # stale rows-only precede
+    assert pos["d"] == 2                       # ...the backlog (a 50+
+    #                                            backlog must not push the
+    #                                            four flagship entries out)
+    assert pos["p_fresh"] > pos["d"]           # fresh rows-only is green
     # greens refresh stalest-first: b's latest row is r1, a's is r2
     assert pos["b"] < pos["a"]
 

@@ -835,6 +835,13 @@ def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = a.repartitionByRange(
         nparts, F.desc("rem"), F.asc("host")
     ).withColumn("pid", F.spark_partition_id())
+    # Both the offsets branch and the rank branch consume `parts`, and
+    # range-boundary sampling is seeded per RDD id — two independent
+    # materializations could disagree on pid assignment, desyncing the
+    # offsets from the ranks. Persist pins ONE materialization (tiny:
+    # the per-host rank table, hosts << pages) so pids are consistent
+    # across branches regardless of exchange-reuse behavior.
+    parts = parts.persist()
     # one row per range partition; the cumulative window runs over at
     # most `nparts` rows, never over host cardinality
     offsets = (

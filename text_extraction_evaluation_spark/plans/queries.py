@@ -90,11 +90,13 @@ _MERGED = {
 # 3):
 #
 #   1. entries whose LATEST official row is red or ``err`` (re-checks),
-#   2. entries that have never had an official row (the backlog),
-#   3. rows-only pipeline entries (no oracle twin; their official check
+#   2. rows-only pipeline entries (no oracle twin; their official check
 #      is the weaker rows-only kind) whose latest row is not from the
 #      most recent record — refreshed so the flagship's own registry
-#      entries never go stale again (round-4 VERDICT item 2),
+#      entries never go stale again (round-4 VERDICT item 2); placed
+#      ahead of the backlog because there are only ever four of them
+#      and a 50+ backlog must not push them outside the window again,
+#   3. entries that have never had an official row (the backlog),
 #   4. flagship greens as window filler, then every remaining green,
 #      oldest-official-row first, so re-check slots always refresh the
 #      stalest part of the record.
@@ -243,9 +245,11 @@ def driver_order(sql_names, rows_only=ROWS_ONLY_PIPELINE):
         (n for n in greens if n not in set(filler)),
         key=lambda n: (latest[n][0], pos[n]),
     )
-    return red + backlog + stale_rows_only + filler + rest
+    return red + stale_rows_only + backlog + filler + rest
 
 
-_ORDER = driver_order(list(_MERGED))
-SQL_CHECKED = {k: _MERGED[k] for k in _ORDER if k in _MERGED}
+#: The full driver-facing ordering (SQL + rows-only entries), computed
+#: once at import; __spark_entry__.queries() iterates this directly.
+DRIVER_ORDER = driver_order(list(_MERGED))
+SQL_CHECKED = {k: _MERGED[k] for k in DRIVER_ORDER if k in _MERGED}
 assert len(SQL_CHECKED) == len(_MERGED)
