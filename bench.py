@@ -331,19 +331,18 @@ def main() -> None:
     # capacity fraction (mean of the before/after probes over the
     # all-time clean reference) to get the seconds the query would take
     # at reference capacity — the number to compare across rounds.
-    epoch_frac = None
-    if extras.get("host_ops_peak_ref"):
-        # a failed probe returns the -1.0 sentinel — exclude it (it
-        # would halve or negate the normalized numbers)
-        probes = [
-            extras[k]
-            for k in ("host_ops_before", "host_ops_after")
-            if extras.get(k, 0) and extras[k] > 0
-        ]
-        if probes:
-            epoch_frac = (sum(probes) / len(probes)) / extras[
-                "host_ops_peak_ref"
-            ]
+    # a failed probe returns the -1.0 sentinel — exclude it (it would
+    # halve or negate the normalized numbers)
+    probes = [
+        extras[k]
+        for k in ("host_ops_before", "host_ops_after")
+        if extras[k] > 0
+    ]
+    epoch_frac = (
+        (sum(probes) / len(probes)) / extras["host_ops_peak_ref"]
+        if probes
+        else None
+    )
     full = {
         "metric": "headline_queries_total_seconds",
         "value": total,

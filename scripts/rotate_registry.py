@@ -2,8 +2,8 @@
 
 Since round 5 the ordering is computed at import time by
 ``plans.queries.driver_order()`` from the committed CORRECTNESS_r*.json
-records — reds first, then the never-sampled backlog, then stale
-rows-only pipeline entries, then filler greens (see the comment block in
+records — reds first, then stale rows-only pipeline entries, then the
+never-sampled backlog, then filler greens (see the comment block in
 plans/queries.py). Nothing needs to be pasted anywhere anymore; this
 script just prints the order the driver will see next round, with the
 status that put each entry where it is, so a human can audit the window
@@ -25,12 +25,17 @@ sys.path.insert(0, str(ROOT))
 def main() -> int:
     window = 50
     if "--window" in sys.argv:
-        window = int(sys.argv[sys.argv.index("--window") + 1])
+        i = sys.argv.index("--window")
+        if i + 1 >= len(sys.argv):
+            print("usage: rotate_registry.py [--window N]", file=sys.stderr)
+            return 2
+        window = int(sys.argv[i + 1])
 
     import __spark_entry__ as entry_mod
     from text_extraction_evaluation_spark.plans.queries import (
         ROWS_ONLY_PIPELINE,
         _find_correctness_records,
+        official_row_green,
     )
 
     order = list(entry_mod.queries())
@@ -55,9 +60,7 @@ def main() -> int:
         rnd, row = latest[n]
         if n in ROWS_ONLY_PIPELINE:
             kind = "rows-only"
-        elif row.get("hash_match") or (
-            row.get("hash_match") is None and row.get("rows_match")
-        ):
+        elif official_row_green(row):
             kind = "green"
         else:
             kind = "RED/ERR"

@@ -26,6 +26,7 @@ import pathlib
 import statistics
 import subprocess
 import sys
+import threading
 import time
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
@@ -263,8 +264,6 @@ class ContentionWatch:
     every ``interval`` seconds while the leg runs."""
 
     def __init__(self, interval: float = 10.0):
-        import threading
-
         self.hits: list[str] = []
         self._stop = threading.Event()
         self._interval = interval

@@ -57,7 +57,7 @@ def main() -> int:
             got = normalize(qs[name](spark, sf).toPandas())
             if name not in oracles:
                 # rows-only pipeline entry: the driver's weaker check.
-                ok = got is not None and list(got.columns)
+                ok = got is not None and bool(list(got.columns))
                 dt = time.perf_counter() - t0
                 print(
                     f"{'ok  ' if ok else 'FAIL'} {name} "

@@ -18,6 +18,7 @@ from text_extraction_evaluation_spark.plans.queries import (
     SQL_CHECKED,
     _find_correctness_records,
     driver_order,
+    official_row_green,
 )
 
 
@@ -41,14 +42,7 @@ def test_never_sampled_entries_precede_sampled_greens():
     greens = [
         n
         for n in SQL_CHECKED
-        if n in latest
-        and (
-            latest[n][1].get("hash_match")
-            or (
-                latest[n][1].get("hash_match") is None
-                and latest[n][1].get("rows_match")
-            )
-        )
+        if n in latest and official_row_green(latest[n][1])
     ]
     if never and greens:
         assert max(pos[n] for n in never) < min(pos[n] for n in greens)
@@ -64,14 +58,7 @@ def test_red_or_err_entries_lead_the_window():
     reds = [
         n
         for n in SQL_CHECKED
-        if n in latest
-        and not (
-            latest[n][1].get("hash_match")
-            or (
-                latest[n][1].get("hash_match") is None
-                and latest[n][1].get("rows_match")
-            )
-        )
+        if n in latest and not official_row_green(latest[n][1])
     ]
     for n in reds:
         assert pos[n] < 50, f"red entry {n} outside the 50-entry window"

@@ -186,6 +186,17 @@ def _find_correctness_records():
     return []
 
 
+def official_row_green(row: dict) -> bool:
+    """Whether one CORRECTNESS record row counts as green: hash match
+    when the driver compared values, else a bare rows match. Shared by
+    driver_order(), the rotate_registry audit, and the ordering tests
+    so the three can never disagree on what green means."""
+    hm = row.get("hash_match")
+    if hm is not None:
+        return bool(hm)
+    return bool(row.get("rows_match"))
+
+
 def driver_order(sql_names, rows_only=ROWS_ONLY_PIPELINE):
     """Full driver-facing entry ordering (SQL entries + rows-only
     pipeline entries), computed from the official CORRECTNESS record per
@@ -213,12 +224,6 @@ def driver_order(sql_names, rows_only=ROWS_ONLY_PIPELINE):
                 latest[k] = (idx, v)
     last_idx = len(recs) - 1
 
-    def _green(row: dict) -> bool:
-        hm = row.get("hash_match")
-        if hm is not None:
-            return bool(hm)
-        return bool(row.get("rows_match"))
-
     red, backlog, stale_rows_only, greens = [], [], [], []
     for n in all_names:
         if n not in latest:
@@ -232,7 +237,7 @@ def driver_order(sql_names, rows_only=ROWS_ONLY_PIPELINE):
                 greens.append(n)
             else:
                 stale_rows_only.append(n)
-        elif _green(row):
+        elif official_row_green(row):
             greens.append(n)
         else:
             red.append(n)
